@@ -1,0 +1,175 @@
+"""Hierarchical grid-cell index (H3-style, integer quadtree).
+
+The reference groups URL nodes by hostname level-by-level to build the
+hostname tree (reference har2tree.py:680-708); our re-grounding replaces the
+hostname key with a hierarchical spatial cell id. We implement the index
+from first principles (no external geo lib): a feature key hashes to a
+deterministic point on the [-180,180)x[-90,90) plane via two multiplicative
+integer hashes, and the cell at resolution ``r`` is the quadtree square
+containing it.
+
+Every function here exists in THREE synchronized forms:
+  * numpy (vectorized, used by the Python oracle and pandas UDFs),
+  * pyspark Column expressions (JVM-side, whole-stage-codegen — the hot path),
+  * a SQL-text builder (DuckDB dialect, for the driver's oracle cross-check).
+
+Cell id layout (resolution <= 16):
+    cell = (ix * 2^16 + iy) * 32 + r        (< 2^37)
+where ix = hx >> (32 - r), iy = hy >> (32 - r) and
+    hx = (key_num * HX_MULT) mod 2^32,  hy = (key_num * HY_MULT) mod 2^32.
+Pure multiply/floor arithmetic so Spark, DuckDB and numpy agree bit-for-bit;
+values stay far below 2^53 so a null-induced Arrow->pandas float64 round
+trip cannot corrupt them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HX_MULT = 2654435761  # Knuth multiplicative hash
+HY_MULT = 2246822519  # xxhash prime 2
+MOD32 = 1 << 32
+
+FINE_RES = 12  # per-feature cell resolution (hostname analogue)
+COARSE_RES = 5  # fallback_host grouping resolution (registrable-domain analogue)
+TILE_LEVELS = (3, 6, 9, 12)  # hostname-tree levels analogue (har2tree.py:680-708)
+
+_IY = 1 << 16  # ix multiplier
+_RB = 32  # resolution field width
+
+
+# ---------------------------------------------------------------- numpy ----
+def np_hashes(key_num: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    k = np.asarray(key_num).astype(np.uint64)
+    hx = (k * np.uint64(HX_MULT)) % np.uint64(MOD32)
+    hy = (k * np.uint64(HY_MULT)) % np.uint64(MOD32)
+    return hx.astype(np.int64), hy.astype(np.int64)
+
+
+def np_point(key_num: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    hx, hy = np_hashes(key_num)
+    lon = hx / MOD32 * 360.0 - 180.0
+    lat = hy / MOD32 * 180.0 - 90.0
+    return lon, lat
+
+
+def np_cell(key_num: np.ndarray, res: int = FINE_RES) -> np.ndarray:
+    hx, hy = np_hashes(key_num)
+    ix = hx >> (32 - res)
+    iy = hy >> (32 - res)
+    return (ix * _IY + iy) * _RB + res
+
+
+def cell_res(cell: int) -> int:
+    return int(cell) % _RB
+
+
+def np_cell_xy(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell % _RB
+    rest = cell // _RB
+    return res, rest // _IY, rest % _IY
+
+
+def make_cell(res, ix, iy):
+    return (np.asarray(ix, dtype=np.int64) * _IY + np.asarray(iy, dtype=np.int64)) * _RB + res
+
+
+def np_cell_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    """Re-index a cell at a coarser resolution (H3 cellToParent analogue)."""
+    res, ix, iy = np_cell_xy(cell)
+    shift = res - parent_res
+    return ((ix >> shift) * _IY + (iy >> shift)) * _RB + parent_res
+
+
+def np_ring(cell: int, radius: int) -> np.ndarray:
+    """All cells at exactly Chebyshev distance ``radius`` from ``cell``
+    (H3 kRing hollow-ring analogue), toroidal wrap at the grid edge so
+    every cell has a full ring — keeps the kNN expansion deterministic."""
+    res, ix, iy = np_cell_xy(np.asarray([cell]))
+    res, ix, iy = int(res[0]), int(ix[0]), int(iy[0])
+    n = 1 << res
+    r = radius
+    if r == 0:
+        return np.asarray([cell], dtype=np.int64)
+    out = []
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            if max(abs(dx), abs(dy)) != r:
+                continue
+            out.append(int(make_cell(res, (ix + dx) % n, (iy + dy) % n)))
+    return np.asarray(out, dtype=np.int64)
+
+
+def np_disk(cell: np.ndarray, radius: int) -> np.ndarray:
+    """(len(cell), (2r+1)^2) matrix of all cells within Chebyshev distance
+    radius — vectorized gridDisk for batch kNN probes."""
+    res, ix, iy = np_cell_xy(np.asarray(cell, dtype=np.int64))
+    n = (np.int64(1) << res).astype(np.int64)
+    offs = np.arange(-radius, radius + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(offs, offs, indexing="ij")
+    dx = dx.ravel()[None, :]
+    dy = dy.ravel()[None, :]
+    nix = (ix[:, None] + dx) % n[:, None]
+    niy = (iy[:, None] + dy) % n[:, None]
+    return (nix * _IY + niy) * _RB + res[:, None]
+
+
+# ------------------------------------------------------- Spark columns ----
+def col_key_num(key: Column) -> Column:
+    """'k123' -> 123; null-safe."""
+    return F.substring(key, 2, 18).cast("long")
+
+
+def col_hashes(key_num: Column) -> tuple[Column, Column]:
+    hx = F.pmod(key_num * F.lit(HX_MULT), F.lit(MOD32))
+    hy = F.pmod(key_num * F.lit(HY_MULT), F.lit(MOD32))
+    return hx, hy
+
+
+def col_point(key_num: Column) -> tuple[Column, Column]:
+    hx, hy = col_hashes(key_num)
+    return hx / MOD32 * 360.0 - 180.0, hy / MOD32 * 180.0 - 90.0
+
+
+def col_cell(key_num: Column, res: int = FINE_RES) -> Column:
+    hx, hy = col_hashes(key_num)
+    ix = F.floor(hx / F.lit(1 << (32 - res)))
+    iy = F.floor(hy / F.lit(1 << (32 - res)))
+    return ((ix * F.lit(_IY) + iy) * F.lit(_RB) + F.lit(res)).cast("long")
+
+
+def col_cell_parent(cell: Column, res: int, parent_res: int) -> Column:
+    """Coarsen a resolution-``res`` cell column to ``parent_res``."""
+    rest = F.floor(cell / F.lit(_RB))
+    ix = F.floor(rest / F.lit(_IY))
+    iy = F.pmod(rest, F.lit(_IY))
+    shift = 1 << (res - parent_res)
+    return (
+        (F.floor(ix / F.lit(shift)) * F.lit(_IY) + F.floor(iy / F.lit(shift)))
+        * F.lit(_RB)
+        + F.lit(parent_res)
+    ).cast("long")
+
+
+# ------------------------------------------------------------ SQL text ----
+def sql_cell(key_num_expr: str, res: int = FINE_RES) -> str:
+    """DuckDB/ANSI SQL text computing the same cell id (oracle side)."""
+    hx = f"(({key_num_expr}) * {HX_MULT}) % {MOD32}"
+    hy = f"(({key_num_expr}) * {HY_MULT}) % {MOD32}"
+    ix = f"CAST(FLOOR(({hx}) / {1 << (32 - res)}) AS BIGINT)"
+    iy = f"CAST(FLOOR(({hy}) / {1 << (32 - res)}) AS BIGINT)"
+    return f"((({ix}) * {_IY} + ({iy})) * {_RB} + {res})"
+
+
+def sql_cell_parent(cell_expr: str, res: int, parent_res: int) -> str:
+    shift = 1 << (res - parent_res)
+    rest = f"CAST(FLOOR(({cell_expr}) / {_RB}) AS BIGINT)"
+    ix = f"CAST(FLOOR(({rest}) / {_IY}) AS BIGINT)"
+    iy = f"(({rest}) % {_IY})"
+    return (
+        f"((CAST(FLOOR(({ix}) / {shift}) AS BIGINT) * {_IY} "
+        f"+ CAST(FLOOR(({iy}) / {shift}) AS BIGINT)) * {_RB} + {parent_res})"
+    )

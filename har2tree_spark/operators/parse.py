@@ -1,0 +1,132 @@
+"""Parse pass: documents(doc_id, spans) -> flat per-span feature rows.
+
+Re-grounds the reference's per-entry URLNode feature extraction
+(reference nodes.py:172-641) and its pre-filters — empty-URL drop
+(har2tree.py:330-331) and status-0 duplicate dedup (har2tree.py:575-603) —
+as pure Catalyst column expressions:
+
+  * key extraction, validity, per-doc dedup and the doc root are all computed
+    AT THE ARRAY LEVEL with higher-order functions (transform/exists/filter)
+    BEFORE the explode, so the whole parse is a narrow, shuffle-free,
+    whole-stage-codegen'd map — no window, no per-row Python, no UDF.
+    (The reference's dedup is a correlated existence predicate; at array
+    level it is `exists(spans, twin)` inside one document, which is exactly
+    the per-doc scope the reference uses.)
+  * grid-cell encode (hostname -> H3-style cell analogue, nodes.py:204-208)
+    is integer multiply/floor arithmetic (geo/grid.py), also JVM-side.
+
+At 100 TB this matters: parse touches every byte once and produces the
+(doc_id-clustered) feature table every later join consumes; keeping it
+narrow means the only shuffles in the whole pipeline are the ones the
+joins/aggregations genuinely need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from har2tree_spark.geo import grid
+
+KEY_TOKEN_RE = "^k[0-9]+$"
+
+
+def _span_key(s: Column) -> Column:
+    """First whitespace token of text iff it looks like a feature key."""
+    tok = F.split_part(F.coalesce(s["text"], F.lit("")), F.lit(" "), F.lit(1))
+    return F.when(tok.rlike(KEY_TOKEN_RE), tok)
+
+
+def parse_documents(docs: DataFrame, keep_dropped: bool = False) -> DataFrame:
+    """documents -> features (FEATURES_SCHEMA + ref_tokens, coarse_cell,
+    root_idx, n_live). One output row per surviving span."""
+    spans = F.coalesce(F.col("spans"), F.array())
+
+    parsed = F.transform(
+        spans,
+        lambda s, i: F.struct(
+            i.cast("int").alias("span_idx"),
+            F.coalesce(s["kind"], F.lit("")).alias("kind"),
+            F.coalesce(s["text"], F.lit("")).alias("text"),
+            F.coalesce(s["media_ref"], F.lit("")).alias("media_ref"),
+            F.coalesce(s["offset"], i.cast("int")).alias("offset"),
+            _span_key(s).alias("key"),
+            (F.coalesce(s["kind"], F.lit("")) != "empty").alias("valid"),
+        ),
+    )
+    # status-0 dedup (P2): invalid span whose key also has a valid twin
+    parsed = F.transform(
+        parsed,
+        lambda p: p.withField(
+            "suppressed",
+            ~p["valid"]
+            & p["key"].isNotNull()
+            & F.exists(parsed, lambda q: q["valid"] & (q["key"] == p["key"])),
+        ),
+    )
+    # P1: featureless spans never participate in joins
+    parsed = F.transform(
+        parsed,
+        lambda p: p.withField(
+            "dropped",
+            p["suppressed"]
+            | (p["key"].isNull() & (p["media_ref"] == "") & (p["text"] == "")),
+        ),
+    )
+    live = F.filter(parsed, lambda p: ~p["dropped"])
+    # doc root = first live span by (offset, span_idx) — har2tree.py:428
+    root = F.array_min(
+        F.transform(live, lambda p: F.struct(p["offset"], p["span_idx"]))
+    )["span_idx"]
+
+    out = docs.select(
+        F.col("doc_id"),
+        F.coalesce(root, F.lit(-1)).alias("root_idx"),
+        F.size(live).alias("n_live"),
+        F.posexplode_outer(parsed if keep_dropped else live).alias("pos", "p"),
+    )
+
+    key = F.col("p.key")
+    key_num = grid.col_key_num(key)
+    lon, lat = grid.col_point(key_num)
+    text = F.col("p.text")
+    return out.select(
+        "doc_id",
+        "root_idx",
+        "n_live",
+        F.col("p.span_idx").alias("span_idx"),
+        F.col("p.kind").alias("kind"),
+        text.alias("text"),
+        F.col("p.media_ref").alias("media_ref"),
+        F.col("p.offset").alias("offset"),
+        key.alias("key"),
+        key_num.alias("key_num"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+        grid.col_cell(key_num, grid.FINE_RES).alias("cell"),
+        grid.col_cell(key_num, grid.COARSE_RES).alias("coarse_cell"),
+        F.col("p.valid").alias("valid"),
+        F.coalesce(F.col("p.suppressed"), F.lit(False)).alias("suppressed"),
+        F.coalesce(F.col("p.dropped"), F.lit(False)).alias("dropped"),
+        F.octet_length(text).cast("long").alias("nbytes"),
+        # tokens addressing OTHER spans (frame/resource join keys)
+        F.filter(
+            F.split(text, " "),
+            lambda t: t.rlike(KEY_TOKEN_RE) & ~(t.eqNullSafe(key)),
+        ).alias("ref_tokens"),
+    )
+
+
+def quarantine_empty_docs(docs: DataFrame) -> DataFrame:
+    """Docs with no surviving spans (Har2TreeError analogue,
+    har2tree.py:244-248) — routed to lineage, not failure."""
+    live = F.filter(
+        F.coalesce(F.col("spans"), F.array()),
+        lambda s: ~(
+            (_span_key(s).isNull())
+            & (F.coalesce(s["media_ref"], F.lit("")) == "")
+            & (F.coalesce(s["text"], F.lit("")) == "")
+        )
+        & (F.coalesce(s["kind"], F.lit("")) != "empty"),
+    )
+    return docs.filter(F.size(live) == 0).select("doc_id")

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local-mode knobs are test-scale; the same settings (AQE, skew join,
+shuffle partitions ~ cores, Arrow batching) are what we would set on a
+1000-executor cluster, just with cluster-scaled values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "har2tree_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "8g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    parallelism: local[N] core count. Defaults to $SPARK_GRAFT_CPUS or 32.
+    shuffle_partitions: defaults to parallelism (local rule: ~= cores; on a
+    real cluster this scales with executor count — the N vs 4N scaling
+    protocol in BENCH/BASELINE.md sets it proportionally per run).
+    """
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = parallelism
+
+    builder = (
+        SparkSession.builder.master(f"local[{parallelism}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(parallelism))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,109 @@
+"""Exact-match of the distributed cascade against the pure-Python oracle —
+the join-row parity gate (BASELINE.md: exact-match rate must be 100%)."""
+
+import pandas as pd
+import pytest
+
+from har2tree_spark.datagen import GenConfig, gen_docs, scenario_docs
+from har2tree_spark.operators.cascade import resolve_exact, resolve_rank
+from har2tree_spark.operators.parse import parse_documents
+from har2tree_spark.oracle import pycascade
+from har2tree_spark.schema import DOCUMENTS_SCHEMA, PRIORITY
+
+
+def _spark_exact(spark, docs):
+    df = spark.createDataFrame(docs, DOCUMENTS_SCHEMA)
+    out = resolve_exact(parse_documents(df)).toPandas()
+    return out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
+def _oracle(docs):
+    rows = pycascade.cascade_docs(docs)
+    out = pd.DataFrame(
+        rows, columns=["doc_id", "span_idx", "parent_idx", "join_kind", "priority"]
+    )
+    return out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
+def _assert_match(spark, docs):
+    got = _spark_exact(spark, docs)
+    want = _oracle(docs)
+    assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
+    for col in ["doc_id", "span_idx", "parent_idx", "join_kind", "priority"]:
+        mism = (got[col].to_numpy() != want[col].to_numpy())
+        if mism.any():
+            i = mism.argmax()
+            raise AssertionError(
+                f"col {col} first mismatch at row {i}:\n"
+                f"got  {got.iloc[i].to_dict()}\nwant {want.iloc[i].to_dict()}"
+            )
+
+
+def test_scenarios_exact(spark):
+    _assert_match(spark, scenario_docs())
+
+
+def test_scenario_expectations():
+    """Hand-computed expectations (capture_samples golden analogue)."""
+    by_doc = {}
+    for r in pycascade.cascade_docs(scenario_docs()):
+        by_doc.setdefault(r["doc_id"], {})[r["span_idx"]] = r
+
+    red = by_doc["scn-redirect"]
+    assert red[0]["join_kind"] == "root"
+    assert [red[i]["parent_idx"] for i in (1, 2, 3)] == [0, 1, 2]
+    assert all(red[i]["join_kind"] == "redirect" for i in (1, 2, 3))
+
+    ref = by_doc["scn-referer"]
+    assert ref[1]["join_kind"] == "referer" and ref[1]["parent_idx"] == 0
+    assert ref[2]["join_kind"] == "referer" and ref[2]["parent_idx"] == 0
+
+    nref = by_doc["scn-no-referer"]
+    assert nref[1]["join_kind"] != "referer" and nref[2]["join_kind"] != "referer"
+
+    ifr = by_doc["scn-iframe"]
+    assert ifr[1]["join_kind"] == "frame" and ifr[1]["parent_idx"] == 0
+    assert ifr[2]["join_kind"] == "frame" and ifr[2]["parent_idx"] == 0
+
+    ini = by_doc["scn-initiator"]
+    assert ini[1]["join_kind"] == "initiator" and ini[1]["parent_idx"] == 0
+
+    res = by_doc["scn-resource"]
+    assert res[1]["join_kind"] == "resource" and res[1]["parent_idx"] == 0
+
+    orp = by_doc["scn-orphan"]
+    assert orp[1]["join_kind"].startswith("fallback")
+
+    # duplicate+invalid: span 2 (empty twin of k61) suppressed -> no row
+    dup = by_doc["scn-dup-invalid"]
+    assert sorted(dup.keys()) == [0, 1]
+    assert dup[1]["join_kind"] == "resource"
+
+    assert "scn-empty" not in by_doc  # quarantined, no rows, no failure
+
+
+@pytest.mark.parametrize("seed,n", [(42, 120), (7, 120), (1234, 80)])
+def test_random_docs_exact(spark, seed, n):
+    docs = gen_docs(seed, n)
+    _assert_match(spark, docs)
+
+
+def test_random_docs_exact_stress(spark):
+    docs = gen_docs(99, 60, GenConfig(max_spans=64, p_orphan=0.15, p_dup_invalid=0.15))
+    _assert_match(spark, docs)
+
+
+def test_rank_mode_contract(spark):
+    """Rank mode: every live non-root span gets exactly one parent; priority
+    respected (a child with a redirect candidate is never claimed by a
+    weaker stage)."""
+    docs = gen_docs(5, 100)
+    df = spark.createDataFrame(docs, DOCUMENTS_SCHEMA)
+    feats = parse_documents(df)
+    out = resolve_rank(feats).toPandas()
+    live = feats.filter("span_idx is not null").count()
+    assert len(out) == live
+    assert (out.groupby(["doc_id", "span_idx"]).size() == 1).all()
+    roots = out[out.join_kind == "root"]
+    assert (roots.parent_idx == -1).all()
+    assert set(out.join_kind.unique()) <= set(PRIORITY.keys())
