@@ -1,38 +1,537 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (documents -> parse -> exact
+consume-once cascade -> tiles -> per-doc stats) on sf0.001.
+
+``queries()`` / ``oracle_sql()`` register each implemented operator from
+SURVEY.md §2 as a (Spark DataFrame, DuckDB SQL) pair over the driver's
+parquet tables. The interleaved-documents input (BASELINE.json input_hint)
+is derived deterministically in-query from `events`
+(har2tree_spark/sources/events_spans.py) so both engines see identical data.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from har2tree_spark.geo import grid
+from har2tree_spark.operators import cascade, parse, stats, tiling
+from har2tree_spark.pipeline import run_pipeline
+from har2tree_spark.sources import events_spans
+
+_BIG = 2147483647
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full exact-mode pipeline,
+    returning per-document golden stats (A4 analogue)."""
+    docs = events_spans.documents_from_events(spark, "/root/testdata/sf0.001")
+    out = run_pipeline(docs, mode="exact")
+    return out["doc_stats"]
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = events_spans.documents_from_events(spark, sf_dir)
+    return parse.parse_documents(docs)
+
+
+def _live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cascade.live_features(_features(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Spark queries
+# --------------------------------------------------------------------------
+def q_geo_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse pass (F1/F2/F13 + P1/P2 analogues): per-span features."""
+    return _live(spark, sf_dir).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "kind",
+        "key",
+        F.col("key_num").cast("long").alias("key_num"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("coarse_cell").cast("long").alias("coarse_cell"),
+        "valid",
+    )
+
+
+def q_geo_cascade_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume-once cascade, rank mode (J2-J6 + priority window)."""
+    return cascade.resolve_rank(_features(spark, sf_dir)).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("parent_idx").cast("long").alias("parent_idx"),
+        "join_kind",
+        F.col("priority").cast("long").alias("priority"),
+    )
+
+
+def q_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile assignment (A1 hostname-tree analogue)."""
+    return tiling.tile_assignment(_features(spark, sf_dir)).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("level").cast("long").alias("level"),
+        F.col("parent_cell").cast("long").alias("parent_cell"),
+    )
+
+
+def q_geo_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc aggregates (A4, SQL-checkable subset: no tree recursion)."""
+    return (
+        _live(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("total_spans"),
+            F.count_distinct("key").cast("long").alias("unique_keys"),
+            F.count_distinct("cell").cast("long").alias("unique_cells"),
+            F.sum(F.length("text")).cast("long").alias("total_len"),
+        )
+    )
+
+
+def q_geo_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HostNode rollup analogue (A2/A3) at the coarse resolution."""
+    r = stats.cell_rollup(_live(spark, sf_dir), grid.COARSE_RES)
+    return r.select(
+        "doc_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        "has_media",
+        "has_text",
+        "mixed_content",
+    )
+
+
+def q_geo_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_all_hashes analogue (A5): group spans by body digest."""
+    return stats.hash_groups(_live(spark, sf_dir)).select(
+        "body_hash",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def q_geo_hot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew detector: spans per fine cell, top cells (mega-hostname)."""
+    return (
+        _live(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= 5)
+        .select(F.col("cell").cast("long").alias("cell"), "n")
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 multi-aggregate shape (TPC-H Q1); decimal-exact sums."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (1 - d("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 deepest-node tiebreak shape: top-3 orders per customer."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 anti-join shape: customers that never ordered."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select(F.col("c_custkey").cast("long").alias("c_custkey"))
+    )
+
+
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 theta/as-of shape: for each purchase, the latest prior view of
+    the same user (equi on user + time-range residual + rank)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    j = p.join(v, "u").filter(F.col("vts") < F.col("pts"))
+    w = Window.partitionBy("purchase_id").orderBy(F.desc("vts"), F.desc("view_id"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("purchase_id").cast("long").alias("purchase_id"),
+            F.col("view_id").cast("long").alias("prior_view_id"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 lag/lead shape: sessionization with 30-minute gaps."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; route via timestamp to epoch seconds (floor)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(newsess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("sess", sess)
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct("sess").cast("long").alias("n_sessions"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(F.col("user_id").cast("long").alias("user_id"), "n_sessions", "n_events")
+    )
+
+
+def q_w1_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/P2 correlated-existence shape on events: error events survive
+    only for users with no non-error events."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id")
+    good = F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0)).over(w)
+    return (
+        ev.withColumn("good", good)
+        .filter((F.col("event_type") != "error") | (F.col("good") == 0))
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("surviving"))
+        .select(F.col("user_id").cast("long").alias("user_id"), "surviving")
+    )
+
+
+def q_hhhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 HHHash analogue: per user, sha256 of the ':'-joined event-type
+    sequence with consecutive duplicates collapsed (order-sensitive hash;
+    reference helper.py:49-82)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    keep = F.lag("event_type").over(w).isNull() | (
+        F.col("event_type") != F.lag("event_type").over(w)
+    )
+    seq = (
+        ev.withColumn("keep", keep)
+        .filter("keep")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ":",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("seq")
+        )
+    )
+    return seq.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.concat(F.lit("hhh:1:"), F.sha2(F.col("seq"), 256)).alias("hhhash"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: documents grouped by content digest."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "geo_features": q_geo_features,
+        "geo_cascade_rank": q_geo_cascade_rank,
+        "geo_tiles": q_geo_tiles,
+        "geo_doc_stats": q_geo_doc_stats,
+        "geo_cell_rollup": q_geo_cell_rollup,
+        "geo_hash_groups": q_geo_hash_groups,
+        "geo_hot_cells": q_geo_hot_cells,
+        "geo_cascade_exact": lambda s, d: cascade.resolve_exact(
+            _features(s, d)
+        ).select(
+            "doc_id",
+            F.col("span_idx").cast("long").alias("span_idx"),
+            F.col("parent_idx").cast("long").alias("parent_idx"),
+            "join_kind",
+        ),
+        "tpch_q1": q_tpch_q1,
+        "topk_orders": q_topk_orders,
+        "cust_no_orders": q_cust_no_orders,
+        "asof_purchase_view": q_asof_purchase_view,
+        "sessionize": q_sessionize,
+        "w1_dedup": q_w1_dedup,
+        "hhhash": q_hhhash,
+        "dedup_exact": q_dedup_exact,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL
+# --------------------------------------------------------------------------
+def _geo_cte() -> str:
+    return "WITH " + events_spans.SQL_FLAT_SPANS.strip()
+
+
+_CASCADE_EDGES_SQL = f"""
+  redirect_raw AS (
+    SELECT p.doc_id, c.span_idx AS child_idx, p.span_idx AS parent_idx,
+           p."offset" AS p_offset, c."offset" AS c_offset, c.valid AS c_valid
+    FROM live p JOIN live c ON c.doc_id = p.doc_id
+    WHERE p.kind = 'redirect' AND p.media_ref <> '' AND c.key = p.media_ref
+      AND c.span_idx <> p.span_idx AND c.key <> p.key
+  ),
+  redirect_rn AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, parent_idx
+                                 ORDER BY c_offset, child_idx) AS rn
+    FROM redirect_raw
+  ),
+  redirect_edges AS (
+    SELECT doc_id, child_idx, parent_idx, 'redirect' AS join_kind,
+           1 AS priority, p_offset
+    FROM (SELECT *, MIN(CASE WHEN c_valid THEN rn END)
+                     OVER (PARTITION BY doc_id, parent_idx) AS fv
+          FROM redirect_rn)
+    WHERE rn <= COALESCE(fv, {_BIG})
+  ),
+  frame_edges AS (
+    SELECT DISTINCT p.doc_id, c.span_idx AS child_idx, p.span_idx AS parent_idx,
+           'frame' AS join_kind, 2 AS priority, p."offset" AS p_offset
+    FROM live p JOIN live c ON c.doc_id = p.doc_id
+    WHERE p.kind = 'iframe' AND c.span_idx <> p.span_idx
+      AND p.next1 IS NOT NULL AND p.next1 <> p.key AND c.key = p.next1
+  ),
+  initiator_edges AS (
+    SELECT DISTINCT c.doc_id, c.span_idx AS child_idx, p.span_idx AS parent_idx,
+           'initiator' AS join_kind, 3 AS priority, p."offset" AS p_offset
+    FROM live c JOIN live p ON p.doc_id = c.doc_id
+    WHERE c.kind = 'js' AND c.media_ref <> '' AND c.media_ref = p.key
+      AND c.span_idx <> p.span_idx
+  ),
+  referer_edges AS (
+    SELECT DISTINCT c.doc_id, c.span_idx AS child_idx, p.span_idx AS parent_idx,
+           'referer' AS join_kind, 4 AS priority, p."offset" AS p_offset
+    FROM live c JOIN live p ON p.doc_id = c.doc_id
+    WHERE c.kind <> 'js' AND c.media_ref <> '' AND c.media_ref = p.key
+      AND c.span_idx <> p.span_idx
+  ),
+  resource_edges AS (
+    SELECT DISTINCT p.doc_id, c.span_idx AS child_idx, p.span_idx AS parent_idx,
+           'resource' AS join_kind, 5 AS priority, p."offset" AS p_offset
+    FROM live p JOIN live c ON c.doc_id = p.doc_id
+    -- engine rule: p.kind IN (html,css,js) with tokens from p.text; in this
+    -- derivation only html spans embed tokens (next1/next2), so restricting
+    -- to html is equivalent
+    WHERE p.kind = 'html' AND c.media_ref = ''
+      AND c.span_idx <> p.span_idx
+      AND ((p.next1 IS NOT NULL AND p.next1 <> p.key AND c.key = p.next1)
+        OR (p.next2 IS NOT NULL AND p.next2 <> p.key AND c.key = p.next2))
+  ),
+  edges AS (
+    SELECT * FROM redirect_edges UNION ALL SELECT * FROM frame_edges
+    UNION ALL SELECT * FROM initiator_edges UNION ALL SELECT * FROM referer_edges
+    UNION ALL SELECT * FROM resource_edges
+  ),
+  won AS (
+    SELECT doc_id, child_idx AS span_idx, parent_idx, join_kind, priority
+    FROM (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY e.doc_id, e.child_idx
+                                     ORDER BY e.priority, e.p_offset, e.parent_idx) AS rk
+      FROM edges e JOIN roots r ON r.doc_id = e.doc_id
+      WHERE e.child_idx <> r.root_idx
+    ) WHERE rk = 1
+  ),
+  rank_result AS (
+    SELECT doc_id, span_idx, parent_idx, join_kind, priority FROM won
+    UNION ALL
+    SELECT r.doc_id, r.root_idx AS span_idx, -1 AS parent_idx,
+           'root' AS join_kind, 0 AS priority
+    FROM roots r
+    UNION ALL
+    SELECT l.doc_id, l.span_idx, r.root_idx AS parent_idx,
+           'fallback_root' AS join_kind, 9 AS priority
+    FROM live l
+    JOIN roots r ON r.doc_id = l.doc_id
+    LEFT JOIN won w ON w.doc_id = l.doc_id AND w.span_idx = l.span_idx
+    WHERE l.span_idx <> r.root_idx AND w.span_idx IS NULL
+  )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cte = _geo_cte()
+    fine = grid.sql_cell("key_num", grid.FINE_RES)
+    coarse = grid.sql_cell("key_num", grid.COARSE_RES)
+    out: dict[str, str] = {}
+
+    out["geo_features"] = f"""{cte}
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, kind, key,
+             CAST(key_num AS BIGINT) AS key_num,
+             {fine} AS cell, {coarse} AS coarse_cell, valid
+      FROM live"""
+
+    out["geo_cascade_rank"] = f"""{cte}, {_CASCADE_EDGES_SQL.strip()}
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+             CAST(parent_idx AS BIGINT) AS parent_idx, join_kind,
+             CAST(priority AS BIGINT) AS priority
+      FROM rank_result"""
+
+    lvl_selects = []
+    prev = None
+    for lvl in grid.TILE_LEVELS:
+        cur = grid.sql_cell("key_num", lvl)
+        parent = grid.sql_cell("key_num", prev) if prev is not None else "CAST(NULL AS BIGINT)"
+        lvl_selects.append(
+            f"SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, {cur} AS cell, "
+            f"CAST({lvl} AS BIGINT) AS level, {parent} AS parent_cell FROM live"
+        )
+        prev = lvl
+    out["geo_tiles"] = f"{cte} " + " UNION ALL ".join(lvl_selects)
+
+    out["geo_doc_stats"] = f"""{cte}
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_spans,
+             CAST(COUNT(DISTINCT key) AS BIGINT) AS unique_keys,
+             CAST(COUNT(DISTINCT {fine}) AS BIGINT) AS unique_cells,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS total_len
+      FROM live GROUP BY doc_id"""
+
+    out["geo_cell_rollup"] = f"""{cte}
+      SELECT doc_id, {coarse} AS cell,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+             MAX(kind IN ('img','video','audio')) AS has_media,
+             MAX(kind IN ('text','html','css','js')) AS has_text,
+             (MAX(kind IN ('img','video','audio')) AND
+              MAX(kind IN ('text','html','css','js'))) AS mixed_content
+      FROM live GROUP BY doc_id, {coarse}"""
+
+    out["geo_hash_groups"] = f"""{cte}
+      SELECT sha256(text) AS body_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM live WHERE text <> '' GROUP BY sha256(text)"""
+
+    out["geo_hot_cells"] = f"""{cte}
+      SELECT {fine} AS cell, CAST(COUNT(*) AS BIGINT) AS n
+      FROM live GROUP BY {fine} HAVING COUNT(*) >= 5"""
+
+    out["tpch_q1"] = """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(COUNT(*) AS BIGINT) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""
+
+    out["topk_orders"] = """
+      SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+             CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST(rk AS BIGINT) AS rk
+      FROM (SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders)
+      WHERE rk <= 3"""
+
+    out["cust_no_orders"] = """
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+    out["asof_purchase_view"] = """
+      SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+             CAST(view_id AS BIGINT) AS prior_view_id
+      FROM (
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.ts DESC, v.event_id DESC) AS rk
+        FROM events p JOIN events v
+          ON v.user_id = p.user_id AND v.ts < p.ts
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      ) WHERE rk = 1"""
+
+    out["sessionize"] = """
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(COUNT(DISTINCT sess) AS BIGINT) AS n_sessions,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM (
+        SELECT user_id,
+               SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+        FROM (SELECT user_id, ts, event_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events)
+      ) GROUP BY user_id"""
+
+    out["w1_dedup"] = """
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(COUNT(*) AS BIGINT) AS surviving
+      FROM (
+        SELECT e.*, SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id) AS good
+        FROM events e
+      ) WHERE event_type <> 'error' OR good = 0
+      GROUP BY user_id"""
+
+    out["hhhash"] = """
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             'hhh:1:' || sha256(string_agg(event_type, ':' ORDER BY ts, event_id)) AS hhhash
+      FROM (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+      ) WHERE prev IS NULL OR event_type <> prev
+      GROUP BY user_id"""
+
+    out["dedup_exact"] = """
+      SELECT md5(text) AS content_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+      FROM documents GROUP BY md5(text)"""
+
+    return out

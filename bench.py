@@ -1,0 +1,85 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline set = the engine's flagship pipeline stages plus representative
+operator-shape queries; `gen_pipeline_20k` runs the full exact cascade over
+a 20k-doc generated corpus (the docs/sec figure BASELINE.md tracks).
+The two-parallelism scaling evidence (N vs 4N) lives in
+tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from har2tree_spark.datagen import GenConfig, gen_documents_df  # noqa: E402
+from har2tree_spark.operators import cascade, parse, tiling  # noqa: E402
+from har2tree_spark.session import get_spark  # noqa: E402
+from har2tree_spark.sources import events_spans  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    spark = get_spark("bench", parallelism=cpus, driver_memory="24g")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    # q1: full exact pipeline over events-derived docs (flagship)
+    docs = events_spans.documents_from_events(spark, sf_dir)
+    feats = parse.parse_documents(docs)
+    timed("q1_cascade_exact", lambda: cascade.resolve_exact(feats).count())
+    # q2: relational rank cascade (candidate joins + window)
+    timed("q2_cascade_rank", lambda: cascade.resolve_rank(feats).count())
+    # q3: tiling + per-tile rollup
+    timed(
+        "q3_tile_rollup",
+        lambda: tiling.tile_rollup(tiling.tile_assignment(feats)).count(),
+    )
+    # q4: generated 20k-doc corpus, full exact pipeline (docs/sec headline)
+    gen = gen_documents_df(spark, 20000, seed=42, cfg=GenConfig(max_spans=32))
+    t0 = time.time()
+    n_docs = cascade.resolve_exact(parse.parse_documents(gen)).select(
+        "doc_id"
+    ).distinct().count()
+    gen_wall = time.time() - t0
+    timings["q4_gen20k_exact"] = round(gen_wall, 3)
+    # q5/q6: relational operator shapes
+    timed("q5_tpch_q1", lambda: entrymod.q_tpch_q1(spark, sf_dir).count())
+    timed("q6_hhhash", lambda: entrymod.q_hhhash(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "gen_docs_per_sec": round(n_docs / gen_wall, 1) if gen_wall else None,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

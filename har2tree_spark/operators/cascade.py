@@ -146,11 +146,20 @@ def candidate_edges(features: DataFrame) -> DataFrame:
     return edges.withColumn("priority", prio_expr.cast("int"))
 
 
-def resolve_rank(features: DataFrame, edges: DataFrame | None = None) -> DataFrame:
+def resolve_rank(
+    features: DataFrame, edges: DataFrame | None = None, materialize: bool = True
+) -> DataFrame:
     """Single-window consume-once resolution (rank mode). Children with no
     candidate edge fall to 'fallback_root' (the spatial fallback stages are
     applied by operators.fallback on top of this). Returns
-    JOIN_RESULT_SCHEMA columns."""
+    JOIN_RESULT_SCHEMA columns.
+
+    materialize: persist the feature table before fanning out into the five
+    candidate joins — otherwise every branch recomputes the whole upstream
+    parse plan (at cluster scale the features stage is written to storage
+    once and every join reads the materialized table)."""
+    if materialize:
+        features = features.persist()
     f = live_features(features)
     if edges is None:
         edges = candidate_edges(features)
@@ -195,6 +204,13 @@ def resolve_rank(features: DataFrame, edges: DataFrame | None = None) -> DataFra
     )
     out = roots.unionByName(won).unionByName(unmatched)
     return out.select([c.name for c in JOIN_RESULT_SCHEMA.fields])
+
+
+def unpersist_features(features: DataFrame) -> None:
+    try:
+        features.unpersist()
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def resolve_exact(features: DataFrame) -> DataFrame:
