@@ -267,6 +267,116 @@ def q_hhhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs on the documents table."""
+    from har2tree_spark.text import dedup  # noqa: PLC0415
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(d, threshold=0.5).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "est_jaccard"
+    )
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs on documents."""
+    from har2tree_spark.text import dedup  # noqa: PLC0415
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.5).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + language-ID heuristic + token counting."""
+    from har2tree_spark.text import quality  # noqa: PLC0415
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality.quality_features(d).select(
+        F.col("id").cast("long").alias("id"),
+        "n_chars", "n_words", "n_tokens", "mean_word_len",
+        "stopword_ratio", "punct_ratio", "digit_ratio",
+        "quality_score", "pred_lang",
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint (rolling-hash analogue)."""
+    from har2tree_spark.text import quality  # noqa: PLC0415
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality.fingerprint(d).select(
+        F.col("id").cast("long").alias("id"), "fingerprint"
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 20 vectors (score dropped:
+    rank is float-noise-stable, raw cosines are not hash-comparable)."""
+    from har2tree_spark.ann import knn  # noqa: PLC0415
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 20)
+    return knn.cosine_topk(e, qs, k=5).select("query_id", "neighbor_id", "rk")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path) — rows-only check (hyperplanes are
+    numpy-side, not SQL-expressible)."""
+    from har2tree_spark.ann import knn  # noqa: PLC0415
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 20)
+    return knn.lsh_cosine_topk(e, qs, dim=64, k=5).select(
+        "query_id", "neighbor_id", "rk"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — rows-only (bit fold is an Arrow UDF)."""
+    from har2tree_spark.text import dedup  # noqa: PLC0415
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_pairs(d, max_hamming=8)
+
+
+def q_geo_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector zonal aggregate: span text tokens rasterized to
+    pixel points, aggregated per coarse grid zone."""
+    from har2tree_spark.operators import zonal  # noqa: PLC0415
+
+    pix = zonal.rasterize_spans(_live(spark, sf_dir))
+    return zonal.zonal_stats_by_cell(pix).select(
+        F.col("zone_cell").cast("long").alias("zone_cell"),
+        "n_pixels", "n_docs", "n_cells",
+    )
+
+
+def q_geo_cascade_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank cascade + spatial fallback chain (host-cell, ring-kNN, root) —
+    rows-only (the kNN disk join is relational but the oracle SQL for 81
+    neighbor offsets is impractical; pytest covers it exactly)."""
+    from har2tree_spark.operators import fallback  # noqa: PLC0415
+
+    feats = _features(spark, sf_dir)
+    base = cascade.resolve_rank(feats)
+    return fallback.resolve_with_fallbacks(feats, base).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("parent_idx").cast("long").alias("parent_idx"),
+        "join_kind",
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads -> Arrow-batched feature
+    extraction (stub codec) — rows-only."""
+    from har2tree_spark.media import multimodal  # noqa: PLC0415
+
+    m = multimodal.synthesize_media(spark, 256)
+    return multimodal.extract_features(m)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: documents grouped by content digest."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -304,6 +414,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_dedup": q_w1_dedup,
         "hhhash": q_hhhash,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
+        "text_quality": q_text_quality,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "simhash_pairs": q_simhash,
+        "geo_zonal": q_geo_zonal,
+        "geo_cascade_fallback": q_geo_cascade_fallback,
+        "media_features": q_media_features,
     }
 
 
@@ -533,5 +653,153 @@ def oracle_sql() -> dict[str, str]:
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
       FROM documents GROUP BY md5(text)"""
+
+    # shingle CTE shared by the two text-dedup oracles (3-word shingles,
+    # identical to har2tree_spark.text.dedup.word_shingles)
+    shingle_cte = r"""
+      words AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents),
+      shingled AS (
+        SELECT id,
+               CASE WHEN len(w) >= 3
+                 THEN list_distinct(list_transform(range(0, len(w) - 2),
+                        i -> array_to_string(w[i+1:i+3], ' ')))
+                 ELSE [array_to_string(w, ' ')] END AS sh
+        FROM words
+      )"""
+
+    sig_exprs = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(s || ':{i}')), 'min')"
+        for i in range(16)
+    )
+    band_exprs = ", ".join(
+        "md5(sig[{a}] || '|' || sig[{b}] || '|' || sig[{c}] || '|' || sig[{d}])".format(
+            a=4 * b + 1, b=4 * b + 2, c=4 * b + 3, d=4 * b + 4
+        )
+        for b in range(4)
+    )
+    out["dedup_minhash"] = f"""WITH {shingle_cte},
+      sigs AS (SELECT id, [{sig_exprs}] AS sig FROM shingled),
+      banded AS (
+        SELECT id, sig, b.band, bhs[b.band + 1] AS bh
+        FROM (SELECT id, sig, [{band_exprs}] AS bhs FROM sigs),
+             (SELECT unnest(range(0, 4)) AS band) b
+      ),
+      ok_buckets AS (SELECT band, bh FROM banded GROUP BY band, bh
+                     HAVING COUNT(*) <= 64),
+      bk AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band, bh)),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               ANY_VALUE(a.sig) AS sig_a, ANY_VALUE(b.sig) AS sig_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+        GROUP BY a.id, b.id
+      )
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             ROUND(list_sum(list_transform(range(1, 17),
+                     i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 16.0,
+                   6) AS est_jaccard
+      FROM pairs
+      WHERE list_sum(list_transform(range(1, 17),
+              i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5"""
+
+    out["dedup_ngram"] = f"""WITH {shingle_cte},
+      ex AS (SELECT DISTINCT id, unnest(sh) AS s FROM shingled),
+      sizes AS (SELECT id, COUNT(*) AS sz FROM ex GROUP BY id),
+      inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+        FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id
+      )
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.5"""
+
+    sw = {
+        lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        for lang, words in __import__("har2tree_spark.text.quality", fromlist=["STOPWORDS"]).STOPWORDS.items()
+    }
+    tok_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    out["text_quality"] = rf"""
+      WITH base AS (
+        SELECT doc_id AS id, text, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+      ),
+      m AS (
+        SELECT id, text, w,
+               GREATEST(len(w), 1) AS n_words_c,
+               GREATEST(length(text), 1) AS n_chars_c,
+               list_sum(list_transform(w, x -> length(x))) * 1.0 / GREATEST(len(w), 1) AS mean_wlen,
+               len(list_filter(w, x -> list_contains({sw['en']}, lower(x)))) / GREATEST(len(w), 1) AS sw_en,
+               len(regexp_extract_all(text, '[^\w\s]')) / GREATEST(length(text), 1) AS punct,
+               len(regexp_extract_all(text, '[0-9]')) / GREATEST(length(text), 1) AS digitr
+        FROM base
+      ),
+      langs AS (
+        SELECT id,
+               list_aggregate([
+                 {{'score': len(list_filter(w, x -> list_contains({sw['de']}, lower(x)))) / GREATEST(len(w),1), 'lang': 'de'}},
+                 {{'score': len(list_filter(w, x -> list_contains({sw['en']}, lower(x)))) / GREATEST(len(w),1), 'lang': 'en'}},
+                 {{'score': len(list_filter(w, x -> list_contains({sw['es']}, lower(x)))) / GREATEST(len(w),1), 'lang': 'es'}},
+                 {{'score': len(list_filter(w, x -> list_contains({sw['fr']}, lower(x)))) / GREATEST(len(w),1), 'lang': 'fr'}}
+               ], 'max') AS best
+        FROM base
+      )
+      SELECT CAST(m.id AS BIGINT) AS id,
+             CAST(length(m.text) AS BIGINT) AS n_chars,
+             CAST(len(m.w) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(m.text, '{tok_re}')) AS BIGINT) AS n_tokens,
+             ROUND(m.mean_wlen, 6) AS mean_word_len,
+             ROUND(m.sw_en, 6) AS stopword_ratio,
+             ROUND(m.punct, 6) AS punct_ratio,
+             ROUND(m.digitr, 6) AS digit_ratio,
+             ROUND(LEAST(len(m.w) / 100.0, 1.0) * 0.25
+                   + CASE WHEN m.mean_wlen >= 3 AND m.mean_wlen <= 10 THEN 0.25 ELSE 0.0 END
+                   + LEAST(m.sw_en * 5.0, 1.0) * 0.25
+                   + GREATEST(0.0, 1.0 - m.punct * 5 - m.digitr * 2) * 0.25, 6) AS quality_score,
+             CASE WHEN langs.best['score'] > 0 THEN langs.best['lang'] ELSE 'und' END AS pred_lang
+      FROM m JOIN langs ON langs.id = m.id"""
+
+    out["fingerprint"] = r"""
+      SELECT CAST(doc_id AS BIGINT) AS id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                     '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents"""
+
+    out["ann_topk"] = """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      s AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+        FROM q, c WHERE query_id <> neighbor_id
+      )
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             CAST(rk AS BIGINT) AS rk
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rk
+            FROM s)
+      WHERE rk <= 5"""
+
+    zone = grid.sql_cell("CAST(SUBSTR(tok, 2, 18) AS BIGINT)", grid.COARSE_RES)
+    pixcell = grid.sql_cell("CAST(SUBSTR(tok, 2, 18) AS BIGINT)", grid.FINE_RES)
+    out["geo_zonal"] = f"""{cte},
+      pix AS (
+        SELECT doc_id, span_idx, tok
+        FROM (SELECT doc_id, span_idx, unnest(string_split(text, ' ')) AS tok
+              FROM live)
+        WHERE regexp_matches(tok, '^k[0-9]+$')
+      )
+      SELECT {zone} AS zone_cell,
+             CAST(COUNT(*) AS BIGINT) AS n_pixels,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT {pixcell}) AS BIGINT) AS n_cells
+      FROM pix GROUP BY 1"""
 
     return out

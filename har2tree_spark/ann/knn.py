@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * ``cosine_topk``      — exact brute force: broadcast the (small) query
+    side, dot products via ``F.zip_with``/``F.aggregate`` (JVM-side), rank
+    per query. The correctness baseline.
+  * ``lsh_cosine_topk``  — scale path: random-hyperplane signatures bucket
+    the corpus (signature computed in one Arrow-vectorized matrix multiply),
+    candidates = same-bucket rows across ``tables`` independent hash tables,
+    exact cosine re-rank on candidates only.
+  * ``embedding_neardup_pairs`` — near-duplicate pairs by cosine >= tau
+    over LSH buckets.
+
+Hyperplanes are seeded deterministically (no RNG state on executors)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_double(a: Column) -> Column:
+    # cast BEFORE multiplying: float*float then widen loses parity with a
+    # double-precision oracle (products must be computed in double)
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: queries broadcast against the corpus.
+    Returns (query_id, neighbor_id, rk, score). Self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    score = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        j.withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            F.col("rk").cast("long"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def _planes(dim: int, bits: int, table: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(np.random.SeedSequence([seed, table]))
+    return rng.standard_normal((dim, bits)).astype(np.float64)
+
+
+def hyperplane_signature(dim: int, bits: int = 12, table: int = 0, seed: int = 42):
+    """Pandas UDF: embedding -> integer LSH bucket (one matmul per batch)."""
+    planes = _planes(dim, bits, table, seed)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def sig(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())
+        return pd.Series(((m @ planes > 0).astype(np.int64) @ weights))
+
+    return sig
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 10,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: same-bucket candidates across ``tables``
+    hyperplane tables, exact cosine re-rank. One shuffle per table join
+    (unioned before the rank)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    cands = None
+    for t in range(tables):
+        sig = hyperplane_signature(dim, bits, t)
+        cq = queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"),
+            sig(F.col(vec_col)).alias("bucket"),
+        )
+        cc = corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"),
+            sig(F.col(vec_col)).alias("bucket"),
+        )
+        j = cc.join(F.broadcast(cq), "bucket").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        cands = j if cands is None else cands.unionByName(j)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    score = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            F.col("rk").cast("long"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    tau: float = 0.95,
+    bits: int = 10,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (cosine >= tau) via LSH buckets + exact verify."""
+    pairs = None
+    for t in range(tables):
+        sig = hyperplane_signature(dim, bits, t)
+        s = df.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
+            sig(F.col(vec_col)).alias("bucket"),
+        )
+        a = s.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = s.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        pairs = j if pairs is None else pairs.unionByName(j)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    score = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.withColumn("cosine", score)
+        .filter(F.col("cosine") >= tau)
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,133 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing — schema, partitioning, Arrow batch shapes, UDF
+signatures — is real and tested; the actual codec calls are STUBBED
+(``NotImplementedError`` or a clearly-marked deterministic fake) because
+the container ships no image/audio libraries. Swapping the stub body for
+PIL/ffmpeg keeps every plan unchanged.
+
+Layout follows the reference's embedded-resource model (binary bodies keyed
+by digest, reference nodes.py:100, helper.py:85-127): blobs are hashed
+early and joins ship hashes, never payloads (SURVEY.md §7.3 point 6)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("payload_sha256", T.StringType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synthesize_media(spark, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Deterministic fake media table (binary payload derived from the id)
+    for exercising the plumbing at any scale — distributed generation."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                rng = np.random.default_rng(np.random.SeedSequence([seed, int(i)]))
+                mtype = ["image", "audio", "video"][int(i) % 3]
+                payload = rng.integers(0, 256, size=64 + int(i) % 192, dtype=np.uint8).tobytes()
+                rows.append(
+                    {
+                        "media_id": f"m{int(i):08d}",
+                        "doc_id": f"doc-{int(i) % max(1, n // 4):08d}",
+                        "media_type": mtype,
+                        "payload": payload,
+                        "width": 64 if mtype == "image" else None,
+                        "height": 64 if mtype == "image" else None,
+                        "duration_ms": 1000 * (int(i) % 30) if mtype != "image" else None,
+                        "payload_sha256": hashlib.sha256(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """STUB: real implementation would decode via PIL/libjpeg. The Spark
+    plumbing around it (extract_features) is real."""
+    raise NotImplementedError("image codec not available in this container")
+
+
+def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
+    """Per-blob feature vector via mapInPandas (Arrow-batched binary in,
+    array<float> out). With ``stub=True`` the 'decoder' is a deterministic
+    byte-histogram fake (documented stand-in); ``stub=False`` raises
+    NotImplementedError at the decode call, by design."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("media_type", T.StringType(), True),
+            T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def fx(batches):
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if not stub:
+                    decode_image(bytes(payload))  # raises: codec not in container
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+                v = hist.astype(np.float32)
+                n = float(np.linalg.norm(v))
+                feats.append((v / n if n else v).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(fx, out_schema)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Frame-sampling plumbing for video rows: one output row per sampled
+    timestamp (explode on a JVM-computed sequence; the decode of the actual
+    frame is the same stubbed codec)."""
+    v = media.filter(F.col("media_type") == "video")
+    ts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(F.col("duration_ms") - 1, F.lit(0)).cast("long"),
+        F.lit(every_ms).cast("long"),
+    )
+    return v.select(
+        "media_id",
+        "doc_id",
+        F.explode(ts).alias("frame_ms"),
+        F.col("payload_sha256").alias("source_sha256"),
+    )
+
+
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact blob dedup by payload digest (hash early, ship hashes)."""
+    return media.groupBy("payload_sha256").agg(
+        F.count("*").cast("long").alias("n_blobs"),
+        F.min("media_id").alias("keeper"),
+    )

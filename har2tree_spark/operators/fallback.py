@@ -1,0 +1,247 @@
+"""Spatial fallback + generic geospatial join operators.
+
+Re-grounds the reference's fallback attachment cascade
+(_make_subtree_fallback, reference har2tree.py:770-853) relationally:
+
+  * ``fallback_host``  — coarse-cell equi-join + preference window (J10);
+  * ``pip_join``       — broadcast R-tree point-in-polygon via ray casting
+                         (J11/J12 page-region containment): the polygon side
+                         is small per north_star, so it broadcasts; the probe
+                         runs inside ``mapInPandas`` with numpy ray casting —
+                         the only Python stage, Arrow-batched, no per-row
+                         Python;
+  * ``knn_join``       — cell-ring-expansion kNN (J13) as ONE equi-join:
+                         explode the (2R+1)^2 neighbor-cell disk of each
+                         probe (pure integer column arithmetic, JVM-side),
+                         equi-join on the neighbor cell, rank by (ring,
+                         squared grid distance). No iteration, no UDF.
+
+``resolve_with_fallbacks`` chains them on top of rank-mode resolution:
+unmatched spans try host-cell, then kNN, then root — the relational
+counterpart of the sequential fallback loop (exact mode implements the
+reference-faithful sequential semantics in operators/kernel.py; the two
+contracts differ only in visit order, documented there).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from har2tree_spark.geo import grid
+from har2tree_spark.geo.geometry import points_in_polygon
+from har2tree_spark.geo.rtree import STRtree
+from har2tree_spark.schema import PRIORITY
+
+_IY = 1 << 16
+_RB = 32
+
+
+def _cell_parts(cell):
+    rest = F.floor(cell / F.lit(_RB))
+    return F.floor(rest / F.lit(_IY)), F.pmod(rest, F.lit(_IY))
+
+
+def neighbor_cells(df: DataFrame, cell_col: str, radius: int, res: int = grid.FINE_RES) -> DataFrame:
+    """Explode each row into its (2r+1)^2 neighbor cells (toroidal wrap),
+    adding ``nbr_cell`` and ``ring`` (Chebyshev distance) and ``d2``
+    columns — all integer column arithmetic, whole-stage-codegen'd."""
+    n = 1 << res
+    offs = [
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+    ]
+    ix, iy = _cell_parts(F.col(cell_col))
+    out = df.withColumn("_o", F.explode(F.array(*offs)))
+    dx = F.col("_o.dx")
+    dy = F.col("_o.dy")
+    nbr = (
+        (F.pmod(ix + dx, F.lit(n)) * F.lit(_IY) + F.pmod(iy + dy, F.lit(n)))
+        * F.lit(_RB)
+        + F.lit(res)
+    ).cast("long")
+    return (
+        out.withColumn("nbr_cell", nbr)
+        .withColumn("ring", F.greatest(F.abs(dx), F.abs(dy)))
+        .withColumn("d2", (dx * dx + dy * dy).cast("long"))
+        .drop("_o")
+    )
+
+
+def knn_join(
+    probes: DataFrame,
+    candidates: DataFrame,
+    k: int = 1,
+    max_ring: int = 4,
+    res: int = grid.FINE_RES,
+    doc_local: bool = True,
+) -> DataFrame:
+    """k nearest candidate rows per probe by grid distance, searching the
+    ring expansion up to ``max_ring``. probes needs (doc_id?, probe_id,
+    cell); candidates needs (doc_id?, cand_id, cell). Returns one row per
+    (probe, rank<=k) that found a neighbor.
+
+    One shuffle total: the disk explode is narrow; the equi-join on
+    (doc_id?, cell) hashes both sides once. At 10^12 scale the alternative —
+    per-ring iterative joins — costs max_ring shuffles; exploding the disk
+    trades replication factor (2R+1)^2 on the (small, unmatched) probe side
+    for a single pass, which wins when probes << candidates."""
+    keys = ["doc_id"] if doc_local else []
+    p = neighbor_cells(
+        probes.select(*keys, "probe_id", F.col("cell").alias("_pc")),
+        "_pc",
+        max_ring,
+        res,
+    )
+    c = candidates.select(*keys, "cand_id", F.col("cell").alias("nbr_cell"), "cand_offset")
+    j = p.join(c, [*keys, "nbr_cell"])
+    w = Window.partitionBy(*keys, "probe_id").orderBy(
+        "ring", "d2", "cand_offset", "cand_id"
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*keys, "probe_id", "cand_id", "ring", "d2", "rk")
+    )
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: list[tuple],
+    keep_cols: tuple[str, ...] = ("doc_id", "span_idx"),
+) -> DataFrame:
+    """Broadcast R-tree point-in-polygon join. ``polygons`` is a driver-side
+    list of (poly_id, vertices) with vertices an (m, 2) array-like — the
+    small/broadcastable side (tile boundaries, page regions). Returns one
+    row per (point, containing polygon).
+
+    Plan shape: R-tree built once on the driver, broadcast; probe is a
+    mapInPandas stage (numpy ray casting per Arrow batch) — no shuffle, no
+    per-row Python."""
+    spark = points.sparkSession
+    polys = [(pid, np.asarray(v, dtype=np.float64)) for pid, v in polygons]
+    boxes = np.asarray(
+        [
+            [v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max()]
+            for _, v in polys
+        ]
+    ).reshape(-1, 4)
+    bc = spark.sparkContext.broadcast((polys, boxes))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in points.select(*keep_cols).schema.fields
+    ) + ", poly_id string"
+
+    def probe(batches):
+        polys_l, boxes_l = bc.value
+        tree = STRtree(boxes_l)
+        for pdf in batches:
+            lon = pdf["lon"].to_numpy(dtype=np.float64)
+            lat = pdf["lat"].to_numpy(dtype=np.float64)
+            rows = []
+            cand_lists = tree.query_points(lon, lat)
+            for i, cands in enumerate(cand_lists):
+                for ci in cands:
+                    pid, verts = polys_l[int(ci)]
+                    if bool(
+                        points_in_polygon(
+                            np.asarray([lon[i]]), np.asarray([lat[i]]), verts
+                        )[0]
+                    ):
+                        rows.append((*(pdf[c].iloc[i] for c in keep_cols), pid))
+            yield pd.DataFrame(rows, columns=[*keep_cols, "poly_id"])
+
+    return points.select(*keep_cols, "lon", "lat").mapInPandas(probe, out_schema)
+
+
+def resolve_with_fallbacks(
+    features: DataFrame, base: DataFrame, max_ring: int = 4
+) -> DataFrame:
+    """Upgrade rank-mode 'fallback_root' assignments with the spatial
+    fallback cascade: coarse-cell host match first, then ring-kNN over
+    attached spans, then root (the relational J10->J13 chain)."""
+    f = features.filter(F.col("span_idx").isNotNull() & (F.col("n_live") > 0))
+    unmatched = base.filter(F.col("join_kind") == "fallback_root").select(
+        "doc_id", "span_idx"
+    )
+    attached = base.filter(F.col("join_kind") != "fallback_root").select(
+        "doc_id", F.col("span_idx").alias("a_idx")
+    )
+    fa = attached.join(
+        f.select(
+            "doc_id",
+            F.col("span_idx").alias("a_idx"),
+            F.col("coarse_cell").alias("a_coarse"),
+            F.col("cell").alias("a_cell"),
+            F.col("kind").alias("a_kind"),
+            F.col("offset").alias("a_offset"),
+        ),
+        ["doc_id", "a_idx"],
+    )
+    un = unmatched.join(
+        f.select("doc_id", "span_idx", "coarse_cell", "cell", "offset", "root_idx"),
+        ["doc_id", "span_idx"],
+    )
+
+    # stage 1: fallback_host — same coarse cell, prefer html then earliest
+    host = (
+        un.join(fa, (un["doc_id"] == fa["doc_id"]) & (un["coarse_cell"] == fa["a_coarse"]))
+        .drop(fa["doc_id"])
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id", "span_idx").orderBy(
+                    F.expr("a_kind != 'html'"), "a_offset", "a_idx"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "span_idx",
+            F.col("a_idx").alias("parent_idx"),
+            F.lit("fallback_host").alias("join_kind"),
+            F.lit(PRIORITY["fallback_host"]).alias("priority"),
+        )
+    )
+
+    # stage 2: fallback_knn over remaining
+    rem = un.join(host.select("doc_id", "span_idx"), ["doc_id", "span_idx"], "left_anti")
+    knn = knn_join(
+        rem.select("doc_id", F.col("span_idx").alias("probe_id"), "cell"),
+        fa.select(
+            "doc_id",
+            F.col("a_idx").alias("cand_id"),
+            F.col("a_cell").alias("cell"),
+            F.col("a_offset").alias("cand_offset"),
+        ),
+        k=1,
+        max_ring=max_ring,
+    ).select(
+        "doc_id",
+        F.col("probe_id").alias("span_idx"),
+        F.col("cand_id").alias("parent_idx"),
+        F.lit("fallback_knn").alias("join_kind"),
+        F.lit(PRIORITY["fallback_knn"]).alias("priority"),
+    )
+
+    # stage 3: root for whatever remains
+    rem2 = rem.join(knn.select("doc_id", "span_idx"), ["doc_id", "span_idx"], "left_anti")
+    root = rem2.select(
+        "doc_id",
+        "span_idx",
+        F.col("root_idx").alias("parent_idx"),
+        F.lit("fallback_root").alias("join_kind"),
+        F.lit(PRIORITY["fallback_root"]).alias("priority"),
+    )
+
+    kept = base.filter(F.col("join_kind") != "fallback_root")
+    return (
+        kept.unionByName(host)
+        .unionByName(knn)
+        .unionByName(root)
+        .select("doc_id", "span_idx", "parent_idx", "join_kind", "priority")
+    )

@@ -1,0 +1,215 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families over a text table (default: the driver's ``documents``):
+
+  * exact           — hash groupBy (content digest);
+  * MinHash + LSH   — shingle -> per-seed min-hash -> band buckets ->
+                      bucket join -> verified Jaccard;
+  * SimHash         — bit-majority fingerprint + banded Hamming buckets;
+  * n-gram Jaccard  — explode shingles -> equi-join -> pair counts.
+
+Everything except the SimHash bit-fold is pure ``F.*`` column expressions
+(JVM, codegen). MinHash uses md5 as the hash family (same function exists
+in DuckDB, so the driver's oracle can replay signatures bit-identically);
+min over the hex string is a valid uniform min-hash.
+
+Scale notes: shingle explode is narrow; the only shuffles are the band/
+shingle groupBys. Band buckets are capped (``max_bucket``) before the
+pair self-join so one degenerate bucket (all-identical boilerplate docs —
+the hot-cell analogue) cannot produce a quadratic pair blowup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups by content digest; keeper = min id per group."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+    )
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """n-word shingles of a text column (array<string>), JVM-side."""
+    words = F.split(F.trim(text_col), "\\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.when(F.size(words) >= n,
+                  F.array_distinct(
+                      F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+                  )).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """array<string> signature: per seed i, min md5(shingle || ':' || i).
+    NOTE: the per-seed lambda must stay single-argument — F.transform
+    interprets a two-argument lambda as (element, index), which would
+    shadow the seed."""
+
+    def seed_min(i: int) -> Column:
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f":{i}"))))
+        )
+
+    return F.array(*[seed_min(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, verified by signature-estimated
+    Jaccard >= threshold. Returns (id_a, id_b, est_jaccard)."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", "sig", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    # cap degenerate buckets before the pair join (skew guard)
+    bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("bn"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bn") <= max_bucket).select("band", "bh"),
+        ["band", "bh"],
+    )
+    a = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.size("sig_a")
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
+    equi-join on shingle, |A∩B| / (|A|+|B|-|A∩B|) >= threshold."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over token lists (Arrow-batched; numpy bit fold).
+    Token hash = first 8 bytes of md5, which keeps parity with any md5-based
+    oracle."""
+    import hashlib  # noqa: PLC0415
+
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for row, toks in enumerate(tokens):
+        if toks is None or len(toks) == 0:
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
+            dtype=">u8",
+        ).astype(np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        vote = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for bpos in np.nonzero(vote > 0)[0]:
+            sh |= np.uint64(1) << np.uint64(bpos)
+        out[row] = np.int64(sh)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    return df.select(F.col(id_col).alias("id"), _simhash64(toks).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into ``bands`` chunks
+    (a pair within Hamming distance < bands shares >= one identical band,
+    pigeonhole), bucket-join, verify exact Hamming distance."""
+    sh = simhash(df, id_col, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.pmod(F.shiftrightunsigned("simhash", b * width), F.lit(mask + 1)).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select("id", "simhash", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )

@@ -1,0 +1,78 @@
+"""Dedup families, text quality, fingerprinting."""
+
+from pyspark.sql import functions as F
+
+from har2tree_spark.text import dedup, quality
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (4, "completely different content about spark engines and data"),
+        (5, "el rapido zorro marron salta sobre el perro perezoso y la casa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    got = dedup.exact_dedup(_docs(spark)).toPandas()
+    dup_groups = got[got.n_docs > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups.keeper.iloc[0] == 1
+    assert list(dup_groups.members.iloc[0]) == [1, 2]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = dedup.minhash_lsh_pairs(_docs(spark), threshold=0.3).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (1, 2) in got  # exact dup always survives
+    assert all(a < b for a, b in got)
+    # the unrelated doc never pairs with anything
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.2).toPandas()
+    exact = pairs[(pairs.id_a == 1) & (pairs.id_b == 2)]
+    assert len(exact) == 1 and exact.jaccard.iloc[0] == 1.0
+    near = pairs[(pairs.id_a == 1) & (pairs.id_b == 3)]
+    assert len(near) == 1 and 0.2 <= near.jaccard.iloc[0] < 1.0
+
+
+def test_simhash_pairs(spark):
+    pairs = dedup.simhash_pairs(_docs(spark), max_hamming=3).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (1, 2) in got
+    d = pairs[(pairs.id_a == 1) & (pairs.id_b == 2)]
+    assert d.hamming.iloc[0] == 0
+
+
+def test_quality_features(spark):
+    q = quality.quality_features(_docs(spark)).toPandas().set_index("id")
+    assert (q.n_tokens >= q.n_words).all()
+    assert q.loc[1, "stopword_ratio"] > 0.2  # 'the' x2 + 'over' ... en text
+    assert 0.0 <= q.quality_score.min() and q.quality_score.max() <= 1.0
+    assert q.loc[1, "pred_lang"] == "en"
+    assert q.loc[5, "pred_lang"] == "es"
+
+
+def test_fingerprint_normalization(spark):
+    rows = [
+        (1, "Hello,   World!"),
+        (2, "hello world"),
+        (3, "different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = quality.fingerprint(df).toPandas().set_index("id")
+    assert fp.loc[1, "fingerprint"] == fp.loc[2, "fingerprint"]
+    assert fp.loc[1, "fingerprint"] != fp.loc[3, "fingerprint"]
+
+
+def test_dedup_on_driver_documents(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = dedup.minhash_lsh_pairs(d, threshold=0.9)
+    assert got.count() >= 0  # runs over the real table without error
+    q = quality.quality_features(d)
+    assert q.count() == d.count()
