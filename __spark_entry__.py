@@ -377,6 +377,51 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(m)
 
 
+def q_forest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document forest join edges (J14 CrawledTree analogue):
+    child root ref -> parent landing key, smallest parent wins."""
+    from har2tree_spark.operators import forest  # noqa: PLC0415
+
+    feats = _features(spark, sf_dir)
+    jr = cascade.resolve_rank(feats)
+    return forest.forest_edges(feats, jr).select("child_doc", "parent_doc")
+
+
+def q_forest_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forest root resolution by pointer doubling — rows-only (cycle
+    handling at the doubling cap is not SQL-recursion-equivalent)."""
+    from har2tree_spark.operators import forest  # noqa: PLC0415
+
+    feats = _features(spark, sf_dir)
+    jr = cascade.resolve_rank(feats)
+    return forest.forest_join(feats, jr)
+
+
+def q_resolve_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rebuild_url analogue (F15): mangled refs resolved by candidate
+    variants + semi-join against the per-doc key universe."""
+    from har2tree_spark.operators import refs  # noqa: PLC0415
+
+    f = _live(spark, sf_dir)
+    mangled = (
+        F.when(F.pmod(F.col("span_idx"), 4) == 0, F.upper(F.col("media_ref")))
+        .when(F.pmod(F.col("span_idx"), 4) == 1, F.concat(F.col("media_ref"), F.lit("#x")))
+        .when(
+            F.pmod(F.col("span_idx"), 4) == 2,
+            F.regexp_replace(F.col("media_ref"), "^k", "k0"),
+        )
+        .otherwise(F.col("media_ref"))
+    )
+    f2 = f.withColumn("mref", F.when(F.col("media_ref") != "", mangled).otherwise(""))
+    return refs.resolve_refs(f2, ref_col="mref").select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "ref",
+        "resolved_ref",
+        F.col("variant_rank").cast("long").alias("variant_rank"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: documents grouped by content digest."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -424,6 +469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_zonal": q_geo_zonal,
         "geo_cascade_fallback": q_geo_cascade_fallback,
         "media_features": q_media_features,
+        "forest_edges": q_forest_edges,
+        "forest_roots": q_forest_roots,
+        "resolve_refs": q_resolve_refs,
     }
 
 
@@ -786,6 +834,73 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY score DESC, neighbor_id) AS rk
             FROM s)
       WHERE rk <= 5"""
+
+    out["forest_edges"] = f"""{cte}, {_CASCADE_EDGES_SQL.strip()},
+      root_rows AS (
+        SELECT r.doc_id, r.root_idx, l.key AS root_key, l.media_ref AS root_ref
+        FROM roots r JOIN live l ON l.doc_id = r.doc_id AND l.span_idx = r.root_idx
+      ),
+      landing AS (
+        SELECT rr.doc_id,
+               COALESCE(lk.key, rr.root_key) AS landing_key
+        FROM root_rows rr
+        LEFT JOIN (
+          SELECT doc_id, span_idx FROM (
+            SELECT doc_id, span_idx,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_idx DESC) AS rn
+            FROM rank_result WHERE join_kind = 'redirect'
+          ) WHERE rn = 1
+        ) ch ON ch.doc_id = rr.doc_id
+        LEFT JOIN live lk ON lk.doc_id = ch.doc_id AND lk.span_idx = ch.span_idx
+      )
+      SELECT child_doc, parent_doc FROM (
+        SELECT c.doc_id AS child_doc, p.doc_id AS parent_doc,
+               ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY p.doc_id) AS rk
+        FROM root_rows c
+        JOIN landing p ON p.landing_key = c.root_ref AND p.doc_id <> c.doc_id
+        WHERE c.root_ref <> ''
+      ) WHERE rk = 1"""
+
+    out["resolve_refs"] = f"""{cte},
+      mangled AS (
+        SELECT doc_id, span_idx, key,
+               CASE WHEN media_ref = '' THEN ''
+                    WHEN span_idx % 4 = 0 THEN UPPER(media_ref)
+                    WHEN span_idx % 4 = 1 THEN media_ref || '#x'
+                    WHEN span_idx % 4 = 2 THEN regexp_replace(media_ref, '^k', 'k0')
+                    ELSE media_ref END AS mref
+        FROM live
+      ),
+      probes AS (
+        SELECT doc_id, span_idx, mref AS ref, v.variant_rank, v.variant
+        FROM mangled,
+        LATERAL (
+          SELECT * FROM (VALUES
+            (0, mref),
+            (1, CASE WHEN instr(mref, '#') > 0
+                     THEN substr(mref, 1, instr(mref, '#') - 1) ELSE mref END),
+            (2, lower(CASE WHEN instr(mref, '#') > 0
+                     THEN substr(mref, 1, instr(mref, '#') - 1) ELSE mref END)),
+            (3, regexp_replace(lower(CASE WHEN instr(mref, '#') > 0
+                     THEN substr(mref, 1, instr(mref, '#') - 1) ELSE mref END), '^k0+', 'k')),
+            (4, CASE WHEN regexp_matches(lower(CASE WHEN instr(mref, '#') > 0
+                     THEN substr(mref, 1, instr(mref, '#') - 1) ELSE mref END), '^[0-9]+$')
+                     THEN 'k' || lower(mref)
+                     ELSE lower(CASE WHEN instr(mref, '#') > 0
+                          THEN substr(mref, 1, instr(mref, '#') - 1) ELSE mref END) END)
+          ) AS t(variant_rank, variant)
+        ) v
+        WHERE mref <> ''
+      ),
+      universe AS (SELECT DISTINCT doc_id, key AS variant FROM live WHERE key IS NOT NULL)
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, ref,
+             variant AS resolved_ref, CAST(variant_rank AS BIGINT) AS variant_rank
+      FROM (
+        SELECT p.*, ROW_NUMBER() OVER (PARTITION BY p.doc_id, p.span_idx
+                                       ORDER BY p.variant_rank) AS rk
+        FROM probes p JOIN universe u
+          ON u.doc_id = p.doc_id AND u.variant = p.variant
+      ) WHERE rk = 1"""
 
     zone = grid.sql_cell("CAST(SUBSTR(tok, 2, 18) AS BIGINT)", grid.COARSE_RES)
     pixcell = grid.sql_cell("CAST(SUBSTR(tok, 2, 18) AS BIGINT)", grid.FINE_RES)

@@ -202,7 +202,11 @@ def resolve_rank(
             F.lit(PRIORITY["fallback_root"]).alias("priority"),
         )
     )
-    out = roots.unionByName(won).unionByName(unmatched)
+    out = (
+        roots.unionByName(won)
+        .unionByName(unmatched)
+        .withColumn("depth", F.lit(None).cast("int"))
+    )
     return out.select([c.name for c in JOIN_RESULT_SCHEMA.fields])
 
 
@@ -213,13 +217,26 @@ def unpersist_features(features: DataFrame) -> None:
         pass
 
 
-def resolve_exact(features: DataFrame) -> DataFrame:
-    """Reference-parity sequential cascade per doc via applyInPandas
-    (vectorized kernel; see operators/kernel.py)."""
-    from har2tree_spark.operators.kernel import cascade_kernel  # noqa: PLC0415
+def resolve_exact(features: DataFrame, method: str = "batch") -> DataFrame:
+    """Reference-parity sequential cascade per doc (operators/kernel.py).
 
-    f = live_features(features).select(
-        "doc_id", "span_idx", "kind", "media_ref", "offset", "key", "key_num",
-        "lon", "lat", "cell", "coarse_cell", "valid", "ref_tokens",
+    method='batch' (default): hash-repartition by doc_id +
+    sortWithinPartitions (docs contiguous in the Arrow stream) +
+    ``mapInPandas`` — one pandas frame per Arrow batch, numpy slice per
+    doc. Same shuffle count as the groupBy path but 3-4x less Python
+    overhead. method='group': applyInPandas one-frame-per-doc (kept as
+    the independently-coded parity check)."""
+    from har2tree_spark.operators.kernel import (  # noqa: PLC0415
+        KERNEL_COLS,
+        cascade_batch,
+        cascade_kernel,
     )
-    return f.groupBy("doc_id").applyInPandas(cascade_kernel, JOIN_RESULT_SCHEMA)
+
+    f = live_features(features).select(*KERNEL_COLS)
+    if method == "group":
+        return f.groupBy("doc_id").applyInPandas(cascade_kernel, JOIN_RESULT_SCHEMA)
+    return (
+        f.repartition("doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(cascade_batch, JOIN_RESULT_SCHEMA)
+    )

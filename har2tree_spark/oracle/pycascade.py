@@ -166,6 +166,7 @@ def cascade_doc(spans_raw: list[dict]) -> list[dict]:
             "parent_idx": -1,
             "join_kind": "root",
             "priority": PRIORITY["root"],
+            "depth": 0,
         }
     ]
     seq = [1]  # attach counter
@@ -184,6 +185,7 @@ def cascade_doc(spans_raw: list[dict]) -> list[dict]:
                 "parent_idx": parent.span_idx,
                 "join_kind": stage,
                 "priority": PRIORITY[stage],
+                "depth": depth[child.span_idx],
             }
         )
 

@@ -63,7 +63,9 @@ FEATURES_SCHEMA = T.StructType(
     ]
 )
 
-# Consume-once cascade output (FIXTURES.md §2 join_result).
+# Consume-once cascade output (FIXTURES.md §2 join_result). ``depth`` is
+# free in exact mode (the DFS knows it) and saves the pointer-doubling
+# pass downstream; rank mode emits it as null.
 JOIN_RESULT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -71,6 +73,7 @@ JOIN_RESULT_SCHEMA = T.StructType(
         T.StructField("parent_idx", T.IntegerType(), False),  # -1 = doc root
         T.StructField("join_kind", T.StringType(), False),
         T.StructField("priority", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), True),
     ]
 )
 

@@ -20,7 +20,8 @@ def _spark_exact(spark, docs):
 def _oracle(docs):
     rows = pycascade.cascade_docs(docs)
     out = pd.DataFrame(
-        rows, columns=["doc_id", "span_idx", "parent_idx", "join_kind", "priority"]
+        rows,
+        columns=["doc_id", "span_idx", "parent_idx", "join_kind", "priority", "depth"],
     )
     return out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 
@@ -29,7 +30,7 @@ def _assert_match(spark, docs):
     got = _spark_exact(spark, docs)
     want = _oracle(docs)
     assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
-    for col in ["doc_id", "span_idx", "parent_idx", "join_kind", "priority"]:
+    for col in ["doc_id", "span_idx", "parent_idx", "join_kind", "priority", "depth"]:
         mism = (got[col].to_numpy() != want[col].to_numpy())
         if mism.any():
             i = mism.argmax()
@@ -91,6 +92,28 @@ def test_random_docs_exact(spark, seed, n):
 def test_random_docs_exact_stress(spark):
     docs = gen_docs(99, 60, GenConfig(max_spans=64, p_orphan=0.15, p_dup_invalid=0.15))
     _assert_match(spark, docs)
+
+
+def test_batch_and_group_methods_agree(spark):
+    docs = gen_docs(77, 100)
+    df = spark.createDataFrame(docs, DOCUMENTS_SCHEMA)
+    feats = parse_documents(df)
+    cols = ["doc_id", "span_idx", "parent_idx", "join_kind", "priority", "depth"]
+    a = (
+        resolve_exact(feats, method="batch")
+        .toPandas()
+        .sort_values(["doc_id", "span_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        resolve_exact(feats, method="group")
+        .toPandas()
+        .sort_values(["doc_id", "span_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    for col in cols:
+        assert (a[col].to_numpy() == b[col].to_numpy()).all(), col
 
 
 def test_rank_mode_contract(spark):

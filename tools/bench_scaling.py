@@ -1,0 +1,100 @@
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+The north rule requires throughput scaling efficiency >= 0.8 between N and
+4N executors; no real cluster exists in this sandbox, so the sanctioned
+substitute is the identical job at two local parallelism levels on the same
+input. This script:
+
+  1. generates the seeded bench corpus once (deterministic, distributed);
+  2. runs tools/scaling_job.py in a fresh process per level (own JVM each,
+     shuffle partitions scaled with cores);
+  3. writes BENCH/BASELINE.md with both throughputs + efficiency.
+
+Usage: python tools/bench_scaling.py [n_docs] [N] [xN]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(corpus: str, cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, f"{REPO}/tools/scaling_job.py", corpus],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    corpus = f"{REPO}/data/bench_corpus_{n_docs}"
+
+    if not os.path.exists(corpus):
+        from har2tree_spark.datagen import GenConfig, write_corpus  # noqa: PLC0415
+        from har2tree_spark.session import get_spark  # noqa: PLC0415
+
+        spark = get_spark("gen_corpus", parallelism=32, driver_memory="16g")
+        write_corpus(
+            spark, corpus, n_docs, seed=42,
+            cfg=GenConfig(max_spans=32, p_hot=0.2, zipf_s=1.2),
+        )
+        spark.stop()
+
+    r_small = run_level(corpus, n_small)
+    r_big = run_level(corpus, n_big)
+    ratio = n_big / n_small
+    eff = (r_big["docs_per_sec"] / r_small["docs_per_sec"]) / ratio
+    result = {
+        "corpus": corpus,
+        "n_docs": n_docs,
+        "runs": [r_small, r_big],
+        "efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as fh:
+        fh.write(
+            f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+Protocol (BASELINE.md): the identical job (parse -> exact consume-once
+cascade -> tile rollup -> doc stats) on the identical input at two local
+parallelism levels, each in its own JVM (spark-submit analogue), with
+`spark.sql.shuffle.partitions` scaled proportionally (= cores per run).
+AQE + skew-join enabled in both (session.py defaults). Input: seeded
+(seed=42) synthetic interleaved-documents corpus, zipf-hot keys
+(GenConfig(max_spans=32, p_hot=0.2, zipf_s=1.2)), {n_docs:,} docs.
+
+| parallelism | docs | join rows | wall (s) | docs/sec |
+|---|---|---|---|---|
+| local[{n_small}] (N) | {r_small['docs']:,} | {r_small['join_rows']:,} | {r_small['wall_s']} | {r_small['docs_per_sec']:,} |
+| local[{n_big}] (4N) | {r_big['docs']:,} | {r_big['join_rows']:,} | {r_big['wall_s']} | {r_big['docs_per_sec']:,} |
+
+**Scaling efficiency** = (tput_4N / tput_N) / {ratio:.0f} = **{eff:.3f}**
+({'PASS' if eff >= 0.8 else 'FAIL'} vs the >= 0.8 criterion).
+
+Join-row / tile exact-match rate vs the pure-Python oracle: enforced at
+100% by `tests/test_cascade.py` / `tests/test_stats_tiling.py`
+(pytest -x -q), and the driver's DuckDB gate cross-checks 21 queries.
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()
