@@ -40,12 +40,22 @@ def live_features(features: DataFrame) -> DataFrame:
     return features.filter(F.col("span_idx").isNotNull() & (F.col("n_live") > 0))
 
 
-def candidate_edges(features: DataFrame) -> DataFrame:
+def candidate_edges(features: DataFrame, materialize: bool = False) -> DataFrame:
     """Union of candidate (child, parent, stage) edges for the five cascade
     stages — each an equi-join on (doc_id, key). Returns columns:
     doc_id, child_idx, parent_idx, join_kind, priority, p_offset, root_idx.
-    """
+
+    materialize: persist ONE slim projection (drops the text/geometry
+    columns; keeps the join scalars + ref_tokens) that all five joins fan
+    out from — a single upstream evaluation instead of one per branch,
+    without paying to cache the full feature table. The token explode runs
+    once instead of once per stage."""
     f = live_features(features)
+    if materialize:
+        f = f.select(
+            "doc_id", "span_idx", "kind", "media_ref", "offset",
+            "key", "valid", "root_idx", "ref_tokens",
+        ).persist()
     child = f.select(
         "doc_id",
         F.col("span_idx").alias("child_idx"),
@@ -63,7 +73,14 @@ def candidate_edges(features: DataFrame) -> DataFrame:
         F.col("media_ref").alias("p_media"),
         F.col("key").alias("p_key"),
         F.col("offset").alias("p_offset"),
-        "ref_tokens",
+    )
+    p_tok = f.select(
+        "doc_id",
+        F.col("span_idx").alias("parent_idx"),
+        F.col("kind").alias("p_kind"),
+        F.col("offset").alias("p_offset"),
+        F.col("key").alias("p_key"),
+        F.explode("ref_tokens").alias("tok"),
     )
     not_self = F.col("child_idx") != F.col("parent_idx")
 
@@ -93,7 +110,6 @@ def candidate_edges(features: DataFrame) -> DataFrame:
     )
 
     # J3 frame: iframe parent's text tokens -> child.key
-    p_tok = parent.withColumn("tok", F.explode("ref_tokens"))
     frame = (
         p_tok.filter(F.col("p_kind") == "iframe")
         .join(child, ["doc_id"])
@@ -154,15 +170,28 @@ def resolve_rank(
     applied by operators.fallback on top of this). Returns
     JOIN_RESULT_SCHEMA columns.
 
-    materialize: persist the feature table before fanning out into the five
-    candidate joins — otherwise every branch recomputes the whole upstream
-    parse plan (at cluster scale the features stage is written to storage
-    once and every join reads the materialized table)."""
-    if materialize:
-        features = features.persist()
-    f = live_features(features)
+    materialize: persist one slim projection of the live features (no text/
+    geometry columns) that the five candidate joins AND the roots/unmatched
+    branches all fan out from — a single upstream evaluation. At cluster
+    scale this is the table the features stage writes to storage."""
+    if materialize and edges is None:
+        features = (
+            live_features(features)
+            .select(
+                "doc_id", "span_idx", "kind", "media_ref", "offset",
+                "key", "valid", "root_idx", "ref_tokens", "n_live",
+            )
+            .persist()
+        )
+        # materialize EAGERLY: a lazy persist lets the five join branches
+        # of one cold job race to compute the uncached upstream
+        # concurrently (measured ~5x the upstream cost); one cheap count
+        # warms the cache for every branch — the local analogue of
+        # writing the feature table to storage before the join stage
+        features.count()
+    f = live_features(features).select("doc_id", "span_idx", "root_idx")
     if edges is None:
-        edges = candidate_edges(features)
+        edges = candidate_edges(features, materialize=False)
     w = Window.partitionBy("doc_id", "child_idx").orderBy(
         "priority", "p_offset", "parent_idx"
     )
