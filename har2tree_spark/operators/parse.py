@@ -73,17 +73,37 @@ def parse_documents(docs: DataFrame, keep_dropped: bool = False) -> DataFrame:
             | (p["key"].isNull() & (p["media_ref"] == "") & (p["text"] == "")),
         ),
     )
-    live = F.filter(parsed, lambda p: ~p["dropped"])
+    # Staged selects, NOT one big select: each stage's expensive array
+    # expression is referenced more than once downstream, which stops
+    # CollapseProject from inlining it — so the parse chain, the live
+    # filter and the doc-root scan each evaluate ONCE PER DOCUMENT.
+    # (A single select here made Catalyst re-embed the whole parse tree
+    # into root_idx/n_live and re-evaluate it per EXPLODED ROW — O(n^2)
+    # array scans per doc, observed as the dominant pipeline cost.)
+    step1 = docs.select(F.col("doc_id"), parsed.alias("_parsed"))
+    step2 = step1.select(
+        "doc_id",
+        "_parsed",
+        F.filter(F.col("_parsed"), lambda p: ~p["dropped"]).alias("_live"),
+    )
     # doc root = first live span by (offset, span_idx) — har2tree.py:428
     root = F.array_min(
-        F.transform(live, lambda p: F.struct(p["offset"], p["span_idx"]))
+        F.transform(F.col("_live"), lambda p: F.struct(p["offset"], p["span_idx"]))
     )["span_idx"]
-
-    out = docs.select(
-        F.col("doc_id"),
+    step3 = step2.select(
+        "doc_id",
         F.coalesce(root, F.lit(-1)).alias("root_idx"),
-        F.size(live).alias("n_live"),
-        F.posexplode_outer(parsed if keep_dropped else live).alias("pos", "p"),
+        F.size(F.col("_live")).alias("n_live"),
+        "_parsed",
+        "_live",
+    )
+    out = step3.select(
+        "doc_id",
+        "root_idx",
+        "n_live",
+        F.posexplode_outer(
+            F.col("_parsed") if keep_dropped else F.col("_live")
+        ).alias("pos", "p"),
     )
 
     key = F.col("p.key")

@@ -1,0 +1,94 @@
+"""Physical-plan assertions — the plans we WANT, not just plans that pass.
+
+Checks pushdown, pruning, shuffle counts and codegen on the engine's key
+operators (SURVEY.md §4: filters/projections must reach the parquet scan;
+doc-local work must not shuffle; the tile rollup gets exactly its one
+aggregation exchange)."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from har2tree_spark.datagen import gen_documents_df
+from har2tree_spark.geo import grid
+from har2tree_spark.operators import tiling, zonal
+from har2tree_spark.operators.cascade import resolve_exact
+from har2tree_spark.operators.parse import parse_documents
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _n_exchanges(plan: str) -> int:
+    # formatted plans list each node in the tree AND as a "(n) Exchange"
+    # detail block — count the detail headers only
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_parse_is_narrow(spark, tmp_path):
+    p = str(tmp_path / "docs")
+    gen_documents_df(spark, 50, seed=3).write.parquet(p)
+    feats = parse_documents(spark.read.parquet(p))
+    plan = _plan(feats)
+    assert _n_exchanges(plan) == 0, "parse must not shuffle"
+    assert "codegen id" in plan  # whole-stage codegen active
+    # the parse expression chain must appear ~once, not once per output
+    # column (the regression this guards: CollapseProject re-embedding the
+    # chain into root_idx/n_live and evaluating it per exploded row)
+    assert plan.count("RLIKE") <= 4, f"parse chain duplicated: {plan.count('RLIKE')}"
+
+
+def test_tile_assignment_is_narrow(spark, tmp_path):
+    p = str(tmp_path / "docs2")
+    gen_documents_df(spark, 50, seed=3).write.parquet(p)
+    tiles = tiling.tile_assignment(parse_documents(spark.read.parquet(p)))
+    assert _n_exchanges(_plan(tiles)) == 0, "tile assignment is a projection"
+
+
+def test_tile_rollup_single_shuffle(spark, tmp_path):
+    p = str(tmp_path / "docs3")
+    gen_documents_df(spark, 50, seed=3).write.parquet(p)
+    roll = tiling.tile_rollup(
+        tiling.tile_assignment(parse_documents(spark.read.parquet(p)))
+    )
+    plan = _plan(roll)
+    assert _n_exchanges(plan) == 1, f"rollup = exactly one agg exchange:\n{plan}"
+    assert "partial" in plan.lower() or "HashAggregate" in plan  # map-side combine
+
+
+def test_cascade_exact_single_shuffle(spark, tmp_path):
+    p = str(tmp_path / "docs4")
+    gen_documents_df(spark, 50, seed=3).write.parquet(p)
+    jr = resolve_exact(parse_documents(spark.read.parquet(p)))
+    plan = _plan(jr)
+    # one Exchange (hash by doc_id), then sort + python map — nothing else
+    assert _n_exchanges(plan) == 1, plan
+    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+
+
+def test_filter_pushdown_to_scan(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # column pruning: ReadSchema carries only the needed columns
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_broadcast_join_for_small_dim(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    nation = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    q = li.join(nation, li["l_suppkey"] == nation["s_suppkey"])
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_zonal_by_cell_single_shuffle(spark, tmp_path):
+    p = str(tmp_path / "docs5")
+    gen_documents_df(spark, 50, seed=3).write.parquet(p)
+    pix = zonal.rasterize_spans(parse_documents(spark.read.parquet(p)))
+    zs = zonal.zonal_stats_by_cell(pix, grid.COARSE_RES)
+    assert _n_exchanges(_plan(zs)) <= 2  # distinct-agg needs its expand exchange
