@@ -63,6 +63,9 @@ def main() -> None:
     # q5/q6: relational operator shapes
     timed("q5_tpch_q1", lambda: entrymod.q_tpch_q1(spark, sf_dir).count())
     timed("q6_hhhash", lambda: entrymod.q_hhhash(spark, sf_dir).count())
+    # q7/q8: training-data operators (dedup + ANN)
+    timed("q7_minhash_lsh", lambda: entrymod.q_dedup_minhash(spark, sf_dir).count())
+    timed("q8_ann_lsh", lambda: entrymod.q_ann_lsh(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(

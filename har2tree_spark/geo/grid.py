@@ -117,6 +117,57 @@ def np_disk(cell: np.ndarray, radius: int) -> np.ndarray:
     return (nix * _IY + niy) * _RB + res[:, None]
 
 
+def np_cover_bbox(
+    min_lon: float, min_lat: float, max_lon: float, max_lat: float,
+    max_cells: int = 64, max_res: int = FINE_RES,
+) -> np.ndarray:
+    """S2-style covering: the set of cells covering a bbox, refined to the
+    finest resolution that stays within ``max_cells``, then compacted
+    (complete 4-child quartets promoted to their parent). Used to turn a
+    polygon/region into an indexable cell set for pruning joins."""
+    min_lon = max(min_lon, -180.0)
+    min_lat = max(min_lat, -90.0)
+    max_lon = min(max_lon, 180.0 - 1e-9)
+    max_lat = min(max_lat, 90.0 - 1e-9)
+    chosen = None
+    for res in range(max_res, -1, -1):
+        n = 1 << res
+        x0 = int((min_lon + 180.0) / 360.0 * n)
+        x1 = int((max_lon + 180.0) / 360.0 * n)
+        y0 = int((min_lat + 90.0) / 180.0 * n)
+        y1 = int((max_lat + 90.0) / 180.0 * n)
+        if (x1 - x0 + 1) * (y1 - y0 + 1) <= max_cells:
+            xs = np.arange(x0, x1 + 1, dtype=np.int64)
+            ys = np.arange(y0, y1 + 1, dtype=np.int64)
+            gx, gy = np.meshgrid(xs, ys, indexing="ij")
+            chosen = make_cell(res, gx.ravel(), gy.ravel())
+            break
+    assert chosen is not None
+    return np_compact(chosen)
+
+
+def np_compact(cells: np.ndarray) -> np.ndarray:
+    """Compact a cell set: any parent whose 4 children are all present
+    replaces them; repeated up the hierarchy (H3 compactCells)."""
+    out: list[int] = []
+    cur = np.unique(np.asarray(cells, dtype=np.int64))
+    while len(cur) > 0:
+        res = int(cur[0] % _RB)
+        if res == 0:
+            out.extend(cur.tolist())
+            break
+        parents = np_cell_parent(cur, res - 1)
+        uniq, counts = np.unique(parents, return_counts=True)
+        promote = set(uniq[counts == 4].tolist())
+        keep = np.asarray(
+            [c for c, p in zip(cur.tolist(), parents.tolist()) if p not in promote],
+            dtype=np.int64,
+        )
+        out.extend(keep.tolist())
+        cur = np.asarray(sorted(promote), dtype=np.int64)
+    return np.asarray(sorted(out), dtype=np.int64)
+
+
 # ------------------------------------------------------- Spark columns ----
 def col_key_num(key: Column) -> Column:
     """'k123' -> 123; null-safe."""
@@ -132,6 +183,15 @@ def col_hashes(key_num: Column) -> tuple[Column, Column]:
 def col_point(key_num: Column) -> tuple[Column, Column]:
     hx, hy = col_hashes(key_num)
     return hx / MOD32 * 360.0 - 180.0, hy / MOD32 * 180.0 - 90.0
+
+
+def col_cell_lonlat(lon: Column, lat: Column, res: int) -> Column:
+    """Cell id from lon/lat columns (consistent with np_cell for points
+    produced by np_point: the float math floors to the same integer grid)."""
+    n = 1 << res
+    ix = F.floor((lon + 180.0) / 360.0 * n)
+    iy = F.floor((lat + 90.0) / 180.0 * n)
+    return ((ix * F.lit(_IY) + iy) * F.lit(_RB) + F.lit(res)).cast("long")
 
 
 def col_cell(key_num: Column, res: int = FINE_RES) -> Column:

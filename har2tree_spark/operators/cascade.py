@@ -264,8 +264,11 @@ def resolve_exact(features: DataFrame, method: str = "batch") -> DataFrame:
     f = live_features(features).select(*KERNEL_COLS)
     if method == "group":
         return f.groupBy("doc_id").applyInPandas(cascade_kernel, JOIN_RESULT_SCHEMA)
+    # full ordering done JVM-side (we shuffle anyway, and Tungsten sort is
+    # far cheaper than a pandas object-dtype sort per Arrow batch); the
+    # kernel trusts the (doc_id, offset, span_idx) stream order
     return (
         f.repartition("doc_id")
-        .sortWithinPartitions("doc_id")
+        .sortWithinPartitions("doc_id", "offset", "span_idx")
         .mapInPandas(cascade_batch, JOIN_RESULT_SCHEMA)
     )

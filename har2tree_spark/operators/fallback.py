@@ -112,17 +112,45 @@ def pip_join(
     points: DataFrame,
     polygons: list[tuple],
     keep_cols: tuple[str, ...] = ("doc_id", "span_idx"),
+    prune_res: int | None = 4,
 ) -> DataFrame:
     """Broadcast R-tree point-in-polygon join. ``polygons`` is a driver-side
     list of (poly_id, vertices) with vertices an (m, 2) array-like — the
     small/broadcastable side (tile boundaries, page regions). Returns one
     row per (point, containing polygon).
 
-    Plan shape: R-tree built once on the driver, broadcast; probe is a
-    mapInPandas stage (numpy ray casting per Arrow batch) — no shuffle, no
-    per-row Python."""
+    Plan shape: (1) optional S2-style covering prune — the union of the
+    polygons' bbox coverings at ``prune_res`` becomes a JVM-side `isin`
+    filter on the point's cell, so points nowhere near any polygon never
+    reach Python; (2) R-tree built once on the driver, broadcast; (3) probe
+    in a mapInPandas stage (numpy ray casting per Arrow batch) — no
+    shuffle, no per-row Python."""
     spark = points.sparkSession
     polys = [(pid, np.asarray(v, dtype=np.float64)) for pid, v in polygons]
+    if prune_res is not None and polys:
+        cover: set[int] = set()
+        for _, v in polys:
+            cover.update(
+                grid.np_cover_bbox(
+                    float(v[:, 0].min()), float(v[:, 1].min()),
+                    float(v[:, 0].max()), float(v[:, 1].max()),
+                    max_cells=64, max_res=prune_res,
+                ).tolist()
+            )
+        # the cover is mixed-resolution (compacted): a point survives if its
+        # cell at ANY cover resolution is in the cover's cells of that res
+        conds = []
+        for r in range(0, prune_res + 1):
+            cells_r = [c for c in cover if c % 32 == r]
+            if cells_r:
+                conds.append(
+                    grid.col_cell_lonlat(F.col("lon"), F.col("lat"), r).isin(cells_r)
+                )
+        if conds:
+            cond = conds[0]
+            for extra in conds[1:]:
+                cond = cond | extra
+            points = points.filter(cond)
     boxes = np.asarray(
         [
             [v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max()]

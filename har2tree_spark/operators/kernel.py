@@ -40,26 +40,49 @@ DANGLING_CAP = 1000
 
 _STAGES = ("redirect", "frame", "initiator", "referer", "resource")
 
+# fixed-width columns only: object/string columns dominate Arrow->pandas
+# conversion cost, so keys/kinds/refs cross as int codes and the geometry is
+# recomputed in-kernel from key_num (vectorized integer hashes, geo/grid.py)
 KERNEL_COLS = [
-    "doc_id", "span_idx", "kind", "media_ref", "offset", "key",
-    "lon", "lat", "cell", "coarse_cell", "valid", "ref_tokens",
+    "doc_id", "span_idx", "kind_code", "has_media", "media_num",
+    "offset", "key_num", "valid", "ref_nums",
 ]
+
+KC_TEXT, KC_HTML, KC_CSS, KC_JS = 0, 1, 2, 3
+KC_IFRAME, KC_REDIRECT = 7, 8
+_RESOURCE_PARENTS = (KC_HTML, KC_CSS, KC_JS)
 
 
 def _prep(pdf: pd.DataFrame) -> dict[str, np.ndarray | list]:
-    """Column arrays for a (doc_id, offset, span_idx)-sorted frame."""
+    """Column arrays for a (doc_id, offset, span_idx)-sorted frame.
+    Nullable ints arrive as float64; -1 is the null sentinel (key space is
+    non-negative)."""
+    key = pdf["key_num"].to_numpy(dtype=np.float64, na_value=np.nan)
+    media = pdf["media_num"].to_numpy(dtype=np.float64, na_value=np.nan)
+    has_key = ~np.isnan(key)
+    key_i = np.where(has_key, key, -1).astype(np.int64)
+    kn = np.where(has_key, key, 0).astype(np.int64)
+    lon, lat = grid.np_point(kn)
+    cell = grid.np_cell(kn, grid.FINE_RES).astype(np.float64)
+    coarse = grid.np_cell(kn, grid.COARSE_RES).astype(np.float64)
+    nankey = ~has_key
+    lon[nankey] = np.nan
+    lat[nankey] = np.nan
+    cell[nankey] = np.nan
+    coarse[nankey] = np.nan
     return {
         "doc_id": pdf["doc_id"].to_numpy(),
         "span_idx": pdf["span_idx"].to_numpy(),
-        "kind": pdf["kind"].to_numpy(),
-        "media": pdf["media_ref"].to_numpy(),
-        "key": pdf["key"].to_numpy(),  # object; None where absent
-        "valid": pdf["valid"].to_numpy(),
-        "lon": pdf["lon"].to_numpy(dtype=np.float64, na_value=np.nan),
-        "lat": pdf["lat"].to_numpy(dtype=np.float64, na_value=np.nan),
-        "cell": pdf["cell"].to_numpy(dtype=np.float64, na_value=np.nan),
-        "coarse": pdf["coarse_cell"].to_numpy(dtype=np.float64, na_value=np.nan),
-        "ref_tokens": pdf["ref_tokens"].tolist(),
+        "kind": pdf["kind_code"].to_numpy(dtype=np.int8),
+        "has_media": pdf["has_media"].to_numpy(dtype=bool),
+        "media": np.where(np.isnan(media), -1, media).astype(np.int64),
+        "key": key_i,
+        "valid": pdf["valid"].to_numpy(dtype=bool),
+        "lon": lon,
+        "lat": lat,
+        "cell": cell,
+        "coarse": coarse,
+        "ref_nums": pdf["ref_nums"].tolist(),
     }
 
 
@@ -69,6 +92,7 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
     (children, parents, stages, depth) in LOCAL positions."""
     n = hi - lo
     kind = a["kind"][lo:hi]
+    has_media = a["has_media"][lo:hi]
     media = a["media"][lo:hi]
     key = a["key"][lo:hi]
     valid = a["valid"][lo:hi]
@@ -76,18 +100,19 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
     lat = a["lat"][lo:hi]
     cell = a["cell"][lo:hi]
     coarse = a["coarse"][lo:hi]
-    ref_tokens = a["ref_tokens"][lo:hi]
+    ref_nums = a["ref_nums"][lo:hi]
 
     # positional candidate indexes (inverted hash indexes, the
-    # all_url_requests / all_referer analogue of har2tree.py:331-339)
-    key_pos: dict[str, list[int]] = defaultdict(list)
-    media_js: dict[str, list[int]] = defaultdict(list)
-    media_other: dict[str, list[int]] = defaultdict(list)
+    # all_url_requests / all_referer analogue of har2tree.py:331-339);
+    # int-keyed — the canonical key grammar makes key<->int a bijection
+    key_pos: dict[int, list[int]] = defaultdict(list)
+    media_js: dict[int, list[int]] = defaultdict(list)
+    media_other: dict[int, list[int]] = defaultdict(list)
     for i in range(n):
-        if key[i] is not None:
-            key_pos[key[i]].append(i)
-        if media[i]:
-            (media_js if kind[i] == "js" else media_other)[media[i]].append(i)
+        if key[i] >= 0:
+            key_pos[int(key[i])].append(i)
+        if media[i] >= 0:
+            (media_js if kind[i] == KC_JS else media_other)[int(media[i])].append(i)
 
     consumed = np.zeros(n, dtype=bool)
     depth = np.zeros(n, dtype=np.int64)
@@ -108,11 +133,11 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
 
     def stage_children(p: int, stage: str) -> list[int]:
         if stage == "redirect":
-            if kind[p] != "redirect" or not media[p]:
+            if kind[p] != KC_REDIRECT or not has_media[p] or media[p] < 0:
                 return []
             cands = [
                 c
-                for c in key_pos.get(media[p], ())
+                for c in key_pos.get(int(media[p]), ())
                 if c != p and not consumed[c] and key[c] != key[p]
             ]
             prefix: list[int] = []
@@ -122,31 +147,31 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
                     break
             return prefix
         if stage == "frame":
-            if kind[p] != "iframe":
+            if kind[p] != KC_IFRAME:
                 return []
             hits = {
                 c
-                for t in ref_tokens[p]
-                for c in key_pos.get(t, ())
+                for t in ref_nums[p]
+                for c in key_pos.get(int(t), ())
                 if c != p and not consumed[c]
             }
             return sorted(hits)
         if stage == "initiator":
-            if key[p] is None:
+            if key[p] < 0:
                 return []
-            return [c for c in media_js.get(key[p], ()) if c != p and not consumed[c]]
+            return [c for c in media_js.get(int(key[p]), ()) if c != p and not consumed[c]]
         if stage == "referer":
-            if key[p] is None:
+            if key[p] < 0:
                 return []
-            return [c for c in media_other.get(key[p], ()) if c != p and not consumed[c]]
+            return [c for c in media_other.get(int(key[p]), ()) if c != p and not consumed[c]]
         # resource
-        if kind[p] not in ("html", "css", "js"):
+        if kind[p] not in _RESOURCE_PARENTS:
             return []
         hits = {
             c
-            for t in ref_tokens[p]
-            for c in key_pos.get(t, ())
-            if c != p and not consumed[c] and not media[c]
+            for t in ref_nums[p]
+            for c in key_pos.get(int(t), ())
+            if c != p and not consumed[c] and not has_media[c]
         }
         return sorted(hits)
 
@@ -228,11 +253,14 @@ def cascade_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     return _emit(a, [(0, *res)])
 
 
-def _process_frame(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Many docs in one frame: sort, find doc boundaries, run each."""
-    pdf = pdf.sort_values(["doc_id", "offset", "span_idx"], kind="stable").reset_index(
-        drop=True
-    )
+def _process_frame(pdf: pd.DataFrame, presorted: bool = False) -> pd.DataFrame:
+    """Many docs in one frame: sort (unless the upstream already did — the
+    batch path sorts JVM-side inside the shuffle), find doc boundaries,
+    run each."""
+    if not presorted:
+        pdf = pdf.sort_values(
+            ["doc_id", "offset", "span_idx"], kind="stable"
+        ).reset_index(drop=True)
     a = _prep(pdf)
     did = a["doc_id"]
     bounds = np.flatnonzero(np.concatenate(([True], did[1:] != did[:-1])))
@@ -260,9 +288,9 @@ def cascade_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry = pdf[mask]
         head = pdf[~mask]
         if len(head):
-            yield _process_frame(head)
+            yield _process_frame(head, presorted=True)
     if carry is not None and len(carry):
-        yield _process_frame(carry)
+        yield _process_frame(carry, presorted=True)
 
 
 def _fallback(d, consumed, depth, attach_seq, kind, lon, lat, cell, coarse, root):
@@ -274,12 +302,12 @@ def _fallback(d, consumed, depth, attach_seq, kind, lon, lat, cell, coarse, root
             return "fallback_host", int(cands[0])
         if len(cands) > 1:
             order = np.lexsort(
-                (-attach_seq[cands], -depth[cands], kind[cands] != "html")
+                (-attach_seq[cands], -depth[cands], kind[cands] != KC_HTML)
             )
             return "fallback_host", int(cands[order[0]])
     # fallback_pip (J11/J12): containment in an attached page-root's region
     if not np.isnan(lon[d]):
-        pages = att[(kind[att] == "html") & ~np.isnan(lon[att])]
+        pages = att[(kind[att] == KC_HTML) & ~np.isnan(lon[att])]
         hits = []
         for a in pages:
             poly = hex_polygon(float(lon[a]), float(lat[a]), REGION_RADIUS_DEG)

@@ -28,7 +28,24 @@ from pyspark.sql import functions as F
 
 from har2tree_spark.geo import grid
 
-KEY_TOKEN_RE = "^k[0-9]+$"
+KEY_TOKEN_RE = "^k(0|[1-9][0-9]{0,14})$"  # canonical: no leading zeros, <=15 digits
+# (key<->int64 bijection that also survives a float64 round trip: < 2^53)
+
+# integer kind codes for the Arrow hot path (object/string columns dominate
+# Arrow->pandas cost; every unknown kind behaves like 'text' in the cascade)
+KIND_CODES = {
+    "text": 0, "html": 1, "css": 2, "js": 3, "img": 4,
+    "video": 5, "audio": 6, "iframe": 7, "redirect": 8, "empty": 9,
+}
+
+
+def _kind_code(kind: Column) -> Column:
+    expr = F.lit(0)
+    for name, code in KIND_CODES.items():
+        if code == 0:
+            continue
+        expr = F.when(kind == name, code).otherwise(expr)
+    return expr.cast("tinyint")
 
 
 def _span_key(s: Column) -> Column:
@@ -134,6 +151,18 @@ def parse_documents(docs: DataFrame, keep_dropped: bool = False) -> DataFrame:
             F.split(text, " "),
             lambda t: t.rlike(KEY_TOKEN_RE) & ~(t.eqNullSafe(key)),
         ).alias("ref_tokens"),
+        # fixed-width kernel columns (no object dtype across Arrow):
+        _kind_code(F.col("p.kind")).alias("kind_code"),
+        (F.col("p.media_ref") != "").alias("has_media"),
+        F.when(
+            F.col("p.media_ref").rlike(KEY_TOKEN_RE),
+            grid.col_key_num(F.col("p.media_ref")),
+        ).alias("media_num"),
+    ).withColumn(
+        # derived from ref_tokens (referenced twice -> CollapseProject keeps
+        # the token filter evaluated once)
+        "ref_nums",
+        F.transform(F.col("ref_tokens"), grid.col_key_num),
     )
 
 

@@ -72,6 +72,30 @@ def test_sql_matches_numpy():
     assert (got["coarse"] == grid.np_cell(k, grid.COARSE_RES)).all()
 
 
+def test_cover_bbox_and_compact():
+    # cover must contain the cells of points inside the bbox at each res
+    cover = grid.np_cover_bbox(-10, -10, 10, 10, max_cells=64)
+    assert 1 <= len(cover) <= 64
+    # a point well inside the box is covered at SOME ancestor level
+    k = np.asarray([12345], dtype=np.int64)
+    lon, lat = grid.np_point(k)
+    inside = (-10 <= lon[0] < 10) and (-10 <= lat[0] < 10)
+    cell = int(grid.np_cell(k, grid.FINE_RES)[0])
+    ancestors = {
+        int(grid.np_cell_parent(np.asarray([cell]), r)[0]) for r in range(0, 13)
+    } | {cell}
+    if inside:
+        assert ancestors & set(cover.tolist())
+    # compaction law: a full quartet promotes
+    ix, iy = 8, 4
+    quartet = grid.make_cell(
+        3, np.asarray([2 * ix, 2 * ix, 2 * ix + 1, 2 * ix + 1]),
+        np.asarray([2 * iy, 2 * iy + 1, 2 * iy, 2 * iy + 1]),
+    )
+    compacted = grid.np_compact(quartet)
+    assert list(compacted) == [int(grid.make_cell(2, np.int64(ix), np.int64(iy)))]
+
+
 def test_point_range():
     k = np.arange(1, 10000, dtype=np.int64)
     lon, lat = grid.np_point(k)
