@@ -39,17 +39,18 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.nd
     """Vectorized even-odd ray casting: bool mask of points inside ``poly``.
 
     Standard crossing-number algorithm; edges (x1,y1)->(x2,y2), a rightward
-    ray from each point toggles on each crossed edge.
-    """
-    px = np.asarray(px, dtype=np.float64)
-    py = np.asarray(py, dtype=np.float64)
-    inside = np.zeros(px.shape, dtype=bool)
-    n = len(poly)
-    for i in range(n):
-        x1, y1 = poly[i]
-        x2, y2 = poly[(i + 1) % n]
-        crosses = (y1 > py) != (y2 > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
-        inside ^= crosses & (px < xint)
-    return inside
+    ray from each point toggles on each crossed edge. Vectorized across
+    edges AND points in one shot (same elementwise float formula as the
+    per-edge loop, so results are bit-identical)."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x1 = poly[:, 0][None, :]
+    y1 = poly[:, 1][None, :]
+    x2 = np.roll(poly[:, 0], -1)[None, :]
+    y2 = np.roll(poly[:, 1], -1)[None, :]
+    crosses = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+    hits = crosses & (px < xint)
+    # even-odd: odd number of crossed edges => inside
+    return (hits.sum(axis=1) % 2).astype(bool)

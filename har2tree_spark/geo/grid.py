@@ -84,23 +84,36 @@ def np_cell_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
     return ((ix >> shift) * _IY + (iy >> shift)) * _RB + parent_res
 
 
+_RING_OFFSETS: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _ring_offsets(r: int) -> tuple[np.ndarray, np.ndarray]:
+    if r not in _RING_OFFSETS:
+        offs = [
+            (dx, dy)
+            for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+            if max(abs(dx), abs(dy)) == r
+        ]
+        arr = np.asarray(offs, dtype=np.int64)
+        _RING_OFFSETS[r] = (arr[:, 0], arr[:, 1])
+    return _RING_OFFSETS[r]
+
+
 def np_ring(cell: int, radius: int) -> np.ndarray:
     """All cells at exactly Chebyshev distance ``radius`` from ``cell``
     (H3 kRing hollow-ring analogue), toroidal wrap at the grid edge so
-    every cell has a full ring — keeps the kNN expansion deterministic."""
-    res, ix, iy = np_cell_xy(np.asarray([cell]))
-    res, ix, iy = int(res[0]), int(ix[0]), int(iy[0])
-    n = 1 << res
-    r = radius
-    if r == 0:
+    every cell has a full ring — keeps the kNN expansion deterministic.
+    Offsets are cached and the ring is built in one vectorized shot."""
+    cell = int(cell)
+    res = cell % _RB
+    rest = cell // _RB
+    ix, iy = rest // _IY, rest % _IY
+    if radius == 0:
         return np.asarray([cell], dtype=np.int64)
-    out = []
-    for dx in range(-r, r + 1):
-        for dy in range(-r, r + 1):
-            if max(abs(dx), abs(dy)) != r:
-                continue
-            out.append(int(make_cell(res, (ix + dx) % n, (iy + dy) % n)))
-    return np.asarray(out, dtype=np.int64)
+    n = 1 << res
+    dx, dy = _ring_offsets(radius)
+    return (((ix + dx) % n) * _IY + ((iy + dy) % n)) * _RB + res
 
 
 def np_disk(cell: np.ndarray, radius: int) -> np.ndarray:

@@ -91,16 +91,18 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
     prepared arrays (one document, already offset-ordered). Returns
     (children, parents, stages, depth) in LOCAL positions."""
     n = hi - lo
-    kind = a["kind"][lo:hi]
-    has_media = a["has_media"][lo:hi]
-    media = a["media"][lo:hi]
-    key = a["key"][lo:hi]
-    valid = a["valid"][lo:hi]
+    # native python lists for the DFS hot loop: per-element numpy indexing
+    # creates boxed np scalars (~5x slower than list[int] access)
+    kind = a["kind"][lo:hi].tolist()
+    has_media = a["has_media"][lo:hi].tolist()
+    media = a["media"][lo:hi].tolist()
+    key = a["key"][lo:hi].tolist()
+    valid = a["valid"][lo:hi].tolist()
     lon = a["lon"][lo:hi]
     lat = a["lat"][lo:hi]
     cell = a["cell"][lo:hi]
     coarse = a["coarse"][lo:hi]
-    ref_nums = a["ref_nums"][lo:hi]
+    ref_nums = [r.tolist() if hasattr(r, "tolist") else r for r in a["ref_nums"][lo:hi]]
 
     # positional candidate indexes (inverted hash indexes, the
     # all_url_requests / all_referer analogue of har2tree.py:331-339);
@@ -110,13 +112,13 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
     media_other: dict[int, list[int]] = defaultdict(list)
     for i in range(n):
         if key[i] >= 0:
-            key_pos[int(key[i])].append(i)
+            key_pos[key[i]].append(i)
         if media[i] >= 0:
-            (media_js if kind[i] == KC_JS else media_other)[int(media[i])].append(i)
+            (media_js if kind[i] == KC_JS else media_other)[media[i]].append(i)
 
-    consumed = np.zeros(n, dtype=bool)
-    depth = np.zeros(n, dtype=np.int64)
-    attach_seq = np.zeros(n, dtype=np.int64)
+    consumed = [False] * n
+    depth = [0] * n
+    attach_seq = [0] * n
     out_child: list[int] = []
     out_parent: list[int] = []
     out_stage: list[str] = []
@@ -137,7 +139,7 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
                 return []
             cands = [
                 c
-                for c in key_pos.get(int(media[p]), ())
+                for c in key_pos.get(media[p], ())
                 if c != p and not consumed[c] and key[c] != key[p]
             ]
             prefix: list[int] = []
@@ -152,25 +154,25 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
             hits = {
                 c
                 for t in ref_nums[p]
-                for c in key_pos.get(int(t), ())
+                for c in key_pos.get(t, ())
                 if c != p and not consumed[c]
             }
             return sorted(hits)
         if stage == "initiator":
             if key[p] < 0:
                 return []
-            return [c for c in media_js.get(int(key[p]), ()) if c != p and not consumed[c]]
+            return [c for c in media_js.get(key[p], ()) if c != p and not consumed[c]]
         if stage == "referer":
             if key[p] < 0:
                 return []
-            return [c for c in media_other.get(int(key[p]), ()) if c != p and not consumed[c]]
+            return [c for c in media_other.get(key[p], ()) if c != p and not consumed[c]]
         # resource
         if kind[p] not in _RESOURCE_PARENTS:
             return []
         hits = {
             c
             for t in ref_nums[p]
-            for c in key_pos.get(int(t), ())
+            for c in key_pos.get(t, ())
             if c != p and not consumed[c] and not has_media[c]
         }
         return sorted(hits)
@@ -193,11 +195,13 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
     make_subtree(root)
 
     processed = 0
+    scan = 0  # consumed flags only flip False->True: monotone scan pointer
     while processed < DANGLING_CAP:
-        rem = np.flatnonzero(~consumed)
-        if len(rem) == 0:
+        while scan < n and consumed[scan]:
+            scan += 1
+        if scan >= n:
             break
-        d = int(rem[0])
+        d = scan
         processed += 1
         stage, p = _fallback(
             d, consumed, depth, attach_seq, kind, lon, lat, cell, coarse, root
@@ -205,7 +209,7 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
         attach(d, p, stage)
         make_subtree(d)
 
-    return out_child, out_parent, out_stage, depth
+    return out_child, out_parent, out_stage, np.asarray(depth, dtype=np.int64)
 
 
 def _emit(a: dict, chunks: list[tuple[int, list[int], list[int], list[str], np.ndarray]]) -> pd.DataFrame:
@@ -294,7 +298,11 @@ def cascade_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _fallback(d, consumed, depth, attach_seq, kind, lon, lat, cell, coarse, root):
-    att = np.flatnonzero(consumed)
+    # cold path: convert the list-based DFS state back to numpy
+    att = np.flatnonzero(np.asarray(consumed, dtype=bool))
+    kind = np.asarray(kind, dtype=np.int8)
+    depth = np.asarray(depth, dtype=np.int64)
+    attach_seq = np.asarray(attach_seq, dtype=np.int64)
     # fallback_host (J10): same coarse cell, html/deepest/latest preference
     if not np.isnan(coarse[d]):
         cands = att[coarse[att] == coarse[d]]
@@ -308,6 +316,13 @@ def _fallback(d, consumed, depth, attach_seq, kind, lon, lat, cell, coarse, root
     # fallback_pip (J11/J12): containment in an attached page-root's region
     if not np.isnan(lon[d]):
         pages = att[(kind[att] == KC_HTML) & ~np.isnan(lon[att])]
+        # bbox pre-reject (hexagon is inscribed in the radius box): cheap
+        # numpy filter before per-page exact ray casts, result-identical
+        if len(pages):
+            close = (np.abs(lon[pages] - lon[d]) <= REGION_RADIUS_DEG) & (
+                np.abs(lat[pages] - lat[d]) <= REGION_RADIUS_DEG
+            )
+            pages = pages[close]
         hits = []
         for a in pages:
             poly = hex_polygon(float(lon[a]), float(lat[a]), REGION_RADIUS_DEG)

@@ -77,10 +77,13 @@ def minhash_lsh_pairs(
     """Candidate pairs via LSH banding, verified by signature-estimated
     Jaccard >= threshold. Returns (id_a, id_b, est_jaccard)."""
     rows_per_band = num_hashes // bands
+    # materialize signatures once: the banding, bucket-size guard and BOTH
+    # sides of the pair self-join would otherwise each re-evaluate the
+    # 16-seed md5 sweep over every shingle (measured 10x+ blowup)
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
+    ).localCheckpoint()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -31,6 +31,14 @@ def main() -> None:
         driver_memory="24g",
     )
     docs = spark.read.parquet(corpus)
+    # warm-up (excluded from timing): JVM task-thread + python-worker spawn
+    # and codegen compilation are cold-start costs a long-lived cluster
+    # amortizes away; without this they dominate the small-N run's wall
+    import pandas as _pd  # noqa: PLC0415
+
+    spark.range(0, cpus * 1000, numPartitions=cpus).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
     t0 = time.time()
     phases = {}
     # Materialization strategy (measured at 32 cores, 20k docs):
