@@ -25,9 +25,11 @@ def main() -> None:
     corpus = sys.argv[1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # shuffle partitions scale with the core count, as they would with
-    # executor count on a cluster (BASELINE.md protocol)
+    # executor count on a cluster (BASELINE.md protocol); 4 tasks per core
+    # so the scheduler absorbs stragglers instead of the slowest partition
+    # gating the stage
     spark = get_spark(
-        f"scaling_{cpus}", parallelism=cpus, shuffle_partitions=cpus,
+        f"scaling_{cpus}", parallelism=cpus, shuffle_partitions=4 * cpus,
         driver_memory="24g",
     )
     docs = spark.read.parquet(corpus)
