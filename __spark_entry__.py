@@ -422,6 +422,39 @@ def q_resolve_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 compactCells analogue over each doc's fine-cell set — rows-only
+    (bounded bottom-up loop; law-tested in tests/test_stats_tiling.py)."""
+    f = _live(spark, sf_dir).select("doc_id", "cell").distinct()
+    return tiling.compact_cells(f, grid.FINE_RES, grid.FINE_RES - 4)
+
+
+def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disk-explode ring-kNN: each span's nearest OTHER span by grid
+    distance within ring 4 — rows-only (81-offset disk join; exact ring
+    semantics pytest-covered)."""
+    from har2tree_spark.operators.fallback import knn_join  # noqa: PLC0415
+
+    f = _live(spark, sf_dir)
+    probes = f.select("doc_id", F.col("span_idx").alias("probe_id"), "cell").filter(
+        F.col("cell").isNotNull()
+    )
+    cands = f.select(
+        "doc_id",
+        F.col("span_idx").alias("cand_id"),
+        "cell",
+        F.col("offset").alias("cand_offset"),
+    ).filter(F.col("cell").isNotNull())
+    out = knn_join(probes, cands, k=1, max_ring=4, exclude_self=True)
+    return out.select(
+        "doc_id",
+        F.col("probe_id").cast("long"),
+        F.col("cand_id").cast("long"),
+        F.col("ring").cast("long"),
+        F.col("d2").cast("long"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: documents grouped by content digest."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -472,6 +505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forest_edges": q_forest_edges,
         "forest_roots": q_forest_roots,
         "resolve_refs": q_resolve_refs,
+        "geo_compact": q_geo_compact,
+        "geo_knn": q_geo_knn,
     }
 
 

@@ -78,6 +78,7 @@ def knn_join(
     max_ring: int = 4,
     res: int = grid.FINE_RES,
     doc_local: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """k nearest candidate rows per probe by grid distance, searching the
     ring expansion up to ``max_ring``. probes needs (doc_id?, probe_id,
@@ -98,6 +99,10 @@ def knn_join(
     )
     c = candidates.select(*keys, "cand_id", F.col("cell").alias("nbr_cell"), "cand_offset")
     j = p.join(c, [*keys, "nbr_cell"])
+    if exclude_self:
+        # when probes and candidates are the same id space, a probe's own
+        # row is always its rank-1 neighbor — drop it BEFORE ranking
+        j = j.filter(F.col("probe_id") != F.col("cand_id"))
     w = Window.partitionBy(*keys, "probe_id").orderBy(
         "ring", "d2", "cand_offset", "cand_id"
     )
