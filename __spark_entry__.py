@@ -455,6 +455,41 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets aggregate over lineitem (beyond-reference OLAP
+    surface; decimal-exact sums)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot orders by status (expressed as conditional aggregation so the
+    DuckDB oracle matches column-for-column)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            .cast("long")
+            .alias("n_open"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("n_finished"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+            .cast("long")
+            .alias("n_pending"),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: documents grouped by content digest."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -507,6 +542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_refs": q_resolve_refs,
         "geo_compact": q_geo_compact,
         "geo_knn": q_geo_knn,
+        "cube_stats": q_cube_stats,
+        "pivot_status": q_pivot_status,
     }
 
 
@@ -936,6 +973,19 @@ def oracle_sql() -> dict[str, str]:
         FROM probes p JOIN universe u
           ON u.doc_id = p.doc_id AND u.variant = p.variant
       ) WHERE rk = 1"""
+
+    out["cube_stats"] = """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+    out["pivot_status"] = """
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+      FROM orders GROUP BY o_orderpriority"""
 
     zone = grid.sql_cell("CAST(SUBSTR(tok, 2, 18) AS BIGINT)", grid.COARSE_RES)
     pixcell = grid.sql_cell("CAST(SUBSTR(tok, 2, 18) AS BIGINT)", grid.FINE_RES)
