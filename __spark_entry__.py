@@ -370,11 +370,22 @@ def q_geo_cascade_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads -> Arrow-batched feature
-    extraction (stub codec) — rows-only."""
+    extraction (stub codec) — rows-only (payload RNG is numpy-side).
+    The array<float> feature is projected to a fixed-precision md5 so the
+    driver canonicalizer (which sorts columns) never sees a list value."""
     from har2tree_spark.media import multimodal  # noqa: PLC0415
 
     m = multimodal.synthesize_media(spark, 256)
-    return multimodal.extract_features(m)
+    f = multimodal.extract_features(m)
+    return f.select(
+        "media_id",
+        "media_type",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
+            )
+        ).alias("feature_md5"),
+    )
 
 
 def q_forest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,7 +968,8 @@ def oracle_sql() -> dict[str, str]:
                      THEN substr(mref, 1, instr(mref, '#') - 1) ELSE mref END), '^k0+', 'k')),
             (4, CASE WHEN regexp_matches(lower(CASE WHEN instr(mref, '#') > 0
                      THEN substr(mref, 1, instr(mref, '#') - 1) ELSE mref END), '^[0-9]+$')
-                     THEN 'k' || lower(mref)
+                     THEN 'k' || lower(CASE WHEN instr(mref, '#') > 0
+                          THEN substr(mref, 1, instr(mref, '#') - 1) ELSE mref END)
                      ELSE lower(CASE WHEN instr(mref, '#') > 0
                           THEN substr(mref, 1, instr(mref, '#') - 1) ELSE mref END) END)
           ) AS t(variant_rank, variant)

@@ -149,8 +149,12 @@ def embedding_neardup_pairs(
     tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 256,
 ) -> DataFrame:
-    """Near-duplicate pairs (cosine >= tau) via LSH buckets + exact verify."""
+    """Near-duplicate pairs (cosine >= tau) via LSH buckets + exact verify.
+    Buckets larger than ``max_bucket`` are dropped before the pair self-join
+    (skew guard: a degenerate bucket of identical embeddings would emit
+    O(bucket^2) pairs; same contract as minhash_lsh_pairs)."""
     pairs = None
     for t in range(tables):
         sig = hyperplane_signature(dim, bits, t)
@@ -158,6 +162,8 @@ def embedding_neardup_pairs(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
             sig(F.col(vec_col)).alias("bucket"),
         )
+        sizes = s.groupBy("bucket").agg(F.count("*").alias("bn"))
+        s = s.join(sizes.filter(F.col("bn") <= max_bucket).select("bucket"), "bucket")
         a = s.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
         b = s.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
         j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))

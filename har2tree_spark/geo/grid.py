@@ -188,9 +188,22 @@ def col_key_num(key: Column) -> Column:
 
 
 def col_hashes(key_num: Column) -> tuple[Column, Column]:
-    hx = F.pmod(key_num * F.lit(HX_MULT), F.lit(MOD32))
-    hy = F.pmod(key_num * F.lit(HY_MULT), F.lit(MOD32))
-    return hx, hy
+    """(k * MULT) mod 2^32 with every int64 intermediate < 2^48: k is split
+    into 16-bit halves so no multiply can overflow under ANSI mode even for
+    the 15-digit keys the key grammar admits. Only bits 0-31 of k influence
+    the result (higher bits are ≡ 0 mod 2^32), matching numpy's uint64 wrap
+    and the DuckDB builder below bit-for-bit."""
+    lo = F.pmod(key_num, F.lit(1 << 16))
+    hi = F.pmod(F.floor(key_num / F.lit(1 << 16)).cast("long"), F.lit(1 << 16))
+
+    def h(mult: int) -> Column:
+        return F.pmod(
+            F.pmod(lo * F.lit(mult), F.lit(MOD32))
+            + F.pmod(hi * F.lit(mult), F.lit(1 << 16)) * F.lit(1 << 16),
+            F.lit(MOD32),
+        )
+
+    return h(HX_MULT), h(HY_MULT)
 
 
 def col_point(key_num: Column) -> tuple[Column, Column]:
@@ -228,10 +241,20 @@ def col_cell_parent(cell: Column, res: int, parent_res: int) -> Column:
 
 
 # ------------------------------------------------------------ SQL text ----
+def sql_hash(key_num_expr: str, mult: int) -> str:
+    """DuckDB/ANSI text for (k * mult) mod 2^32 via the same 16-bit-half
+    split as col_hashes — avoids BIGINT overflow for keys > ~3.47e9."""
+    lo = f"(({key_num_expr}) % 65536)"
+    hi = f"(CAST(FLOOR(({key_num_expr}) / 65536) AS BIGINT) % 65536)"
+    return (
+        f"((({lo} * {mult}) % {MOD32} + (({hi} * {mult}) % 65536) * 65536) % {MOD32})"
+    )
+
+
 def sql_cell(key_num_expr: str, res: int = FINE_RES) -> str:
     """DuckDB/ANSI SQL text computing the same cell id (oracle side)."""
-    hx = f"(({key_num_expr}) * {HX_MULT}) % {MOD32}"
-    hy = f"(({key_num_expr}) * {HY_MULT}) % {MOD32}"
+    hx = sql_hash(key_num_expr, HX_MULT)
+    hy = sql_hash(key_num_expr, HY_MULT)
     ix = f"CAST(FLOOR(({hx}) / {1 << (32 - res)}) AS BIGINT)"
     iy = f"CAST(FLOOR(({hy}) / {1 << (32 - res)}) AS BIGINT)"
     return f"((({ix}) * {_IY} + ({iy})) * {_RB} + {res})"

@@ -175,20 +175,17 @@ def resolve_rank(
     branches all fan out from — a single upstream evaluation. At cluster
     scale this is the table the features stage writes to storage."""
     if materialize and edges is None:
-        features = (
-            live_features(features)
-            .select(
-                "doc_id", "span_idx", "kind", "media_ref", "offset",
-                "key", "valid", "root_idx", "ref_tokens", "n_live",
-            )
-            .persist()
-        )
-        # materialize EAGERLY: a lazy persist lets the five join branches
-        # of one cold job race to compute the uncached upstream
-        # concurrently (measured ~5x the upstream cost); one cheap count
-        # warms the cache for every branch — the local analogue of
-        # writing the feature table to storage before the join stage
-        features.count()
+        # EAGER localCheckpoint, not persist(): (a) a lazy persist lets the
+        # five join branches of one cold job race to compute the uncached
+        # upstream concurrently (measured ~5x the upstream cost); (b) a
+        # persist() entry lives in the CacheManager until someone calls
+        # unpersist, so repeated invocations on a long-lived driver (bench,
+        # streaming foreachBatch) accumulate cached tables — checkpoint
+        # blocks are freed by the ContextCleaner when the frame is GC'd.
+        features = live_features(features).select(
+            "doc_id", "span_idx", "kind", "media_ref", "offset",
+            "key", "valid", "root_idx", "ref_tokens", "n_live",
+        ).localCheckpoint()
     f = live_features(features).select("doc_id", "span_idx", "root_idx")
     if edges is None:
         edges = candidate_edges(features, materialize=False)
@@ -237,13 +234,6 @@ def resolve_rank(
         .withColumn("depth", F.lit(None).cast("int"))
     )
     return out.select([c.name for c in JOIN_RESULT_SCHEMA.fields])
-
-
-def unpersist_features(features: DataFrame) -> None:
-    try:
-        features.unpersist()
-    except Exception:  # noqa: BLE001
-        pass
 
 
 def resolve_exact(features: DataFrame, method: str = "batch") -> DataFrame:

@@ -24,7 +24,6 @@ results are bit-identical.
 
 from __future__ import annotations
 
-import sys
 from collections import defaultdict
 from collections.abc import Iterator
 
@@ -177,16 +176,37 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
         }
         return sorted(hits)
 
-    limit = max(sys.getrecursionlimit(), 4 * n + 1000)
-    sys.setrecursionlimit(limit)
-
-    def make_subtree(p: int) -> None:
-        for stage in _STAGES:
-            for c in stage_children(p, stage):
-                if consumed[c]:
+    def make_subtree(top: int) -> None:
+        """Explicit-stack DFS (a recursive version segfaults the Python
+        worker thread's C-stack on a single adversarial deep-chain doc —
+        raising sys.recursionlimit cannot help there). Visit order is
+        identical to the recursive form: each frame materializes one
+        stage's candidate list at the moment the stage is reached (so it
+        sees every attach made by deeper recursion), then re-checks
+        ``consumed`` per child while walking the list."""
+        # frame: [parent, stage_index, child_list | None, cursor]
+        stack: list[list] = [[top, 0, None, 0]]
+        nstages = len(_STAGES)
+        while stack:
+            fr = stack[-1]
+            children = fr[2]
+            if children is None:
+                if fr[1] >= nstages:
+                    stack.pop()
                     continue
-                attach(c, p, stage)
-                make_subtree(c)
+                fr[2] = stage_children(fr[0], _STAGES[fr[1]])
+                fr[3] = 0
+                continue
+            if fr[3] >= len(children):
+                fr[1] += 1
+                fr[2] = None
+                continue
+            c = children[fr[3]]
+            fr[3] += 1
+            if consumed[c]:
+                continue
+            attach(c, fr[0], _STAGES[fr[1]])
+            stack.append([c, 0, None, 0])
 
     root = 0
     attach(root, -1, "root")

@@ -77,13 +77,25 @@ def minhash_lsh_pairs(
     """Candidate pairs via LSH banding, verified by signature-estimated
     Jaccard >= threshold. Returns (id_a, id_b, est_jaccard)."""
     rows_per_band = num_hashes // bands
-    # materialize signatures once: the banding, bucket-size guard and BOTH
-    # sides of the pair self-join would otherwise each re-evaluate the
-    # 16-seed md5 sweep over every shingle (measured 10x+ blowup)
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    ).localCheckpoint()
+    # Two measured perf guards (16.6x together at sf0.1):
+    #  * repartition: a single small parquet file reads as ONE partition, so
+    #    the md5 sweep — the dominant cost — would run on one core;
+    #  * staged select: projecting the shingles column first keeps
+    #    CollapseProject from re-inlining the shingle construction into each
+    #    of the num_hashes seed lambdas (it preserves intermediates that are
+    #    referenced more than once).
+    # localCheckpoint then materializes signatures once for the banding,
+    # the bucket-size guard, and both sides of the pair self-join.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+        .localCheckpoint()
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -125,13 +137,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
-    equi-join on shingle, |A∩B| / (|A|+|B|-|A∩B|) >= threshold."""
+    """n-gram Jaccard near-dup pairs over discriminative shingles: explode
+    distinct shingles, drop shingles shared by more than ``max_df`` docs
+    (skew guard — one stopword-like shingle in 10^6 docs would alone emit
+    ~10^12 pairs), equi-join on shingle, |A∩B|/(|A|+|B|-|A∩B|) >= threshold.
+    Set sizes are counted AFTER the frequency cap, so the Jaccard is exact
+    over the capped shingle space (boilerplate shingles carry no signal)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     ).distinct()
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df_n"))
+    sh = sh.join(freq.filter(F.col("df_n") <= max_df).select("sh"), "sh")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -182,28 +201,57 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(F.col(id_col).alias("id"), _simhash64(toks).alias("simhash"))
 
 
+def simhash_band_layout(bands: int) -> list[tuple[int, int]]:
+    """(start_bit, width) per band: widths differ by at most one and the
+    bands partition all 64 bits — required for the pigeonhole recall
+    guarantee (a pair within Hamming distance <= bands-1 shares at least
+    one bit-identical band)."""
+    base, extra = divmod(64, bands)
+    out, start = [], 0
+    for b in range(bands):
+        w = base + (1 if b < extra else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    bands: int = 4,
+    bands: int | None = None,
+    max_bucket: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into ``bands`` chunks
-    (a pair within Hamming distance < bands shares >= one identical band,
-    pigeonhole), bucket-join, verify exact Hamming distance."""
+    """Near-dup pairs by SimHash: band the 64 bits into ``bands`` chunks,
+    bucket-join, verify exact Hamming distance. Recall is exact only when
+    ``bands >= max_hamming + 1`` (pigeonhole over a full partition of the
+    64 bits), so bands is derived from max_hamming when not given and a
+    too-small explicit value is rejected. Buckets larger than
+    ``max_bucket`` are dropped before the pair join (skew guard, same
+    contract as minhash_lsh_pairs)."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need bands >= {max_hamming + 1}"
+        )
     sh = simhash(df, id_col, text_col)
-    width = 64 // bands
-    mask = (1 << width) - 1
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.pmod(F.shiftrightunsigned("simhash", b * width), F.lit(mask + 1)).alias("bh"),
+            F.pmod(F.shiftrightunsigned("simhash", start), F.lit(1 << width)).alias("bh"),
         )
-        for b in range(bands)
+        for b, (start, width) in enumerate(simhash_band_layout(bands))
     ]
     banded = sh.select("id", "simhash", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("bn"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bn") <= max_bucket).select("band", "bh"),
+        ["band", "bh"],
     )
     a = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
     b = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
