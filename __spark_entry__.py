@@ -333,7 +333,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — rows-only (bit fold is an Arrow UDF)."""
+    """SimHash near-dup pairs; the oracle replays the 64-bit bit-majority
+    fold from md5 hex digits as a bit string."""
     from har2tree_spark.text import dedup  # noqa: PLC0415
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -353,9 +354,9 @@ def q_geo_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geo_cascade_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank cascade + spatial fallback chain (host-cell, ring-kNN, root) —
-    rows-only (the kNN disk join is relational but the oracle SQL for 81
-    neighbor offsets is impractical; pytest covers it exactly)."""
+    """Rank cascade + spatial fallback chain (host-cell, ring-kNN, root);
+    oracle replays the whole chain relationally (disk join = 81-offset
+    cross join)."""
     from har2tree_spark.operators import fallback  # noqa: PLC0415
 
     feats = _features(spark, sf_dir)
@@ -399,8 +400,9 @@ def q_forest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_forest_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forest root resolution by pointer doubling — rows-only (cycle
-    handling at the doubling cap is not SQL-recursion-equivalent)."""
+    """Forest root resolution by pointer doubling; the oracle replays the
+    doubling exactly (10 materialized self-join CTEs — idempotent once
+    converged, so the engine's early exit is equivalent)."""
     from har2tree_spark.operators import forest  # noqa: PLC0415
 
     feats = _features(spark, sf_dir)
@@ -434,16 +436,15 @@ def q_resolve_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geo_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H3 compactCells analogue over each doc's fine-cell set — rows-only
-    (bounded bottom-up loop; law-tested in tests/test_stats_tiling.py)."""
+    """H3 compactCells analogue over each doc's fine-cell set (bounded
+    bottom-up loop; oracle replays the 4 promotion passes as CTEs)."""
     f = _live(spark, sf_dir).select("doc_id", "cell").distinct()
     return tiling.compact_cells(f, grid.FINE_RES, grid.FINE_RES - 4)
 
 
 def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disk-explode ring-kNN: each span's nearest OTHER span by grid
-    distance within ring 4 — rows-only (81-offset disk join; exact ring
-    semantics pytest-covered)."""
+    distance within ring 4 (oracle: 81-offset relational disk join)."""
     from har2tree_spark.operators.fallback import knn_join  # noqa: PLC0415
 
     f = _live(spark, sf_dir)
@@ -998,6 +999,216 @@ def oracle_sql() -> dict[str, str]:
              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
              CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
       FROM orders GROUP BY o_orderpriority"""
+
+    # ---- geo_knn: the 81-offset disk join is plain relational SQL --------
+    n_side = 1 << grid.FINE_RES
+    # pts: every live span with its fine cell decomposed into (ix, iy)
+    pts_cte = f"""
+      pts AS (
+        SELECT doc_id, span_idx, "offset", {fine} AS cell,
+               CAST(FLOOR(CAST(FLOOR(({fine}) / 32) AS BIGINT) / 65536) AS BIGINT) AS ix,
+               (CAST(FLOOR(({fine}) / 32) AS BIGINT) % 65536) AS iy
+        FROM live WHERE key_num IS NOT NULL
+      ),
+      offs AS (
+        SELECT a.dx, b.dy, GREATEST(ABS(a.dx), ABS(b.dy)) AS ring,
+               a.dx * a.dx + b.dy * b.dy AS d2
+        FROM (SELECT unnest(range(-4, 5)) AS dx) a,
+             (SELECT unnest(range(-4, 5)) AS dy) b
+      )"""
+    nbr_expr = (
+        f"(((((ix + o.dx) % {n_side}) + {n_side}) % {n_side}) * 65536"
+        f" + ((((iy + o.dy) % {n_side}) + {n_side}) % {n_side})) * 32 + {grid.FINE_RES}"
+    )
+    out["geo_knn"] = f"""{cte}, {pts_cte.strip()},
+      expd AS (
+        SELECT p.doc_id, p.span_idx AS probe_id, o.ring, o.d2,
+               {nbr_expr} AS nbr_cell
+        FROM pts p, offs o
+      ),
+      j AS (
+        SELECT e.doc_id, e.probe_id, c.span_idx AS cand_id, e.ring, e.d2,
+               c."offset" AS cand_offset
+        FROM expd e JOIN pts c ON c.doc_id = e.doc_id AND c.cell = e.nbr_cell
+        WHERE c.span_idx <> e.probe_id
+      )
+      SELECT doc_id, CAST(probe_id AS BIGINT) AS probe_id,
+             CAST(cand_id AS BIGINT) AS cand_id,
+             CAST(ring AS BIGINT) AS ring, CAST(d2 AS BIGINT) AS d2
+      FROM (SELECT j.*, ROW_NUMBER() OVER (PARTITION BY doc_id, probe_id
+                       ORDER BY ring, d2, cand_offset, cand_id) AS rk FROM j)
+      WHERE rk = 1"""
+
+    # ---- geo_cascade_fallback: rank cascade + host/kNN/root chain --------
+    out["geo_cascade_fallback"] = f"""{cte}, {_CASCADE_EDGES_SQL.strip()}, {pts_cte.strip()},
+      unm AS (
+        SELECT r.doc_id, r.span_idx, {coarse} AS coarse_cell,
+               p.cell, p.ix, p.iy, p."offset", rt.root_idx
+        FROM rank_result r
+        JOIN live l ON l.doc_id = r.doc_id AND l.span_idx = r.span_idx
+        JOIN pts p ON p.doc_id = r.doc_id AND p.span_idx = r.span_idx
+        JOIN roots rt ON rt.doc_id = r.doc_id
+        WHERE r.join_kind = 'fallback_root'
+      ),
+      att AS (
+        SELECT r.doc_id, r.span_idx AS a_idx, {coarse} AS a_coarse,
+               p.cell AS a_cell, l.kind AS a_kind, l."offset" AS a_offset
+        FROM rank_result r
+        JOIN live l ON l.doc_id = r.doc_id AND l.span_idx = r.span_idx
+        JOIN pts p ON p.doc_id = r.doc_id AND p.span_idx = r.span_idx
+        WHERE r.join_kind <> 'fallback_root'
+      ),
+      host AS (
+        SELECT doc_id, span_idx, a_idx AS parent_idx,
+               'fallback_host' AS join_kind
+        FROM (
+          SELECT u.doc_id, u.span_idx, a.a_idx,
+                 ROW_NUMBER() OVER (PARTITION BY u.doc_id, u.span_idx
+                   ORDER BY (a.a_kind <> 'html'), a.a_offset, a.a_idx) AS rk
+          FROM unm u JOIN att a
+            ON a.doc_id = u.doc_id AND a.a_coarse = u.coarse_cell
+        ) WHERE rk = 1
+      ),
+      rem AS (
+        SELECT u.* FROM unm u LEFT JOIN host h
+          ON h.doc_id = u.doc_id AND h.span_idx = u.span_idx
+        WHERE h.span_idx IS NULL
+      ),
+      rexp AS (
+        SELECT r.doc_id, r.span_idx, o.ring, o.d2, {nbr_expr} AS nbr_cell
+        FROM rem r, offs o
+      ),
+      knn AS (
+        SELECT doc_id, span_idx, a_idx AS parent_idx,
+               'fallback_knn' AS join_kind
+        FROM (
+          SELECT e.doc_id, e.span_idx, a.a_idx,
+                 ROW_NUMBER() OVER (PARTITION BY e.doc_id, e.span_idx
+                   ORDER BY e.ring, e.d2, a.a_offset, a.a_idx) AS rk
+          FROM rexp e JOIN att a
+            ON a.doc_id = e.doc_id AND a.a_cell = e.nbr_cell
+        ) WHERE rk = 1
+      ),
+      rem2 AS (
+        SELECT r.* FROM rem r LEFT JOIN knn k
+          ON k.doc_id = r.doc_id AND k.span_idx = r.span_idx
+        WHERE k.span_idx IS NULL
+      )
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+             CAST(parent_idx AS BIGINT) AS parent_idx, join_kind
+      FROM (
+        SELECT doc_id, span_idx, parent_idx, join_kind
+        FROM rank_result WHERE join_kind <> 'fallback_root'
+        UNION ALL SELECT doc_id, span_idx, parent_idx, join_kind FROM host
+        UNION ALL SELECT doc_id, span_idx, parent_idx, join_kind FROM knn
+        UNION ALL SELECT doc_id, span_idx, root_idx AS parent_idx,
+                         'fallback_root' AS join_kind
+        FROM rem2
+      )"""
+
+    # ---- geo_compact: bounded bottom-up quartet promotion ----------------
+    compact_parts: list[str] = []
+    compact_ctes = [f"lvl{grid.FINE_RES} AS (SELECT DISTINCT doc_id, {fine} AS cell FROM live)"]
+    cur = f"lvl{grid.FINE_RES}"
+    for r in range(grid.FINE_RES, grid.FINE_RES - 4, -1):
+        par = grid.sql_cell_parent("cell", r, r - 1)
+        compact_ctes.append(
+            f"""p{r} AS (
+              SELECT doc_id, {par} AS cell FROM {cur}
+              GROUP BY doc_id, {par} HAVING COUNT(DISTINCT cell) = 4
+            )"""
+        )
+        compact_ctes.append(
+            f"""k{r} AS (
+              SELECT l.doc_id, l.cell FROM {cur} l LEFT JOIN p{r} p
+                ON p.doc_id = l.doc_id AND p.cell = {grid.sql_cell_parent('l.cell', r, r - 1)}
+              WHERE p.cell IS NULL
+            )"""
+        )
+        compact_parts.append(f"SELECT doc_id, cell FROM k{r}")
+        cur = f"p{r}"
+    compact_parts.append(f"SELECT doc_id, cell FROM {cur}")
+    out["geo_compact"] = (
+        f"{cte}, "
+        + ", ".join(compact_ctes)
+        + " SELECT doc_id, CAST(cell AS BIGINT) AS cell FROM ("
+        + " UNION ALL ".join(compact_parts)
+        + ")"
+    )
+
+    # ---- forest_roots: forest edges + exact pointer-doubling replay ------
+    # doubling for t iterations is idempotent once converged, so a fixed
+    # 10-step CTE chain replays forest.forest_roots (early-exit included)
+    forest_core = out["forest_edges"].split("SELECT child_doc, parent_doc FROM (", 1)
+    # MATERIALIZED is required: DuckDB inlines plain CTEs, so d10 would
+    # otherwise expand to 2^10 copies of d0 (and 2^10 parquet re-opens)
+    doubling = ["""d0 AS MATERIALIZED (
+        SELECT d.doc_id, COALESCE(e.parent_doc, d.doc_id) AS anc
+        FROM fdocs d LEFT JOIN fedges e ON e.child_doc = d.doc_id
+      )"""]
+    for i in range(1, 11):
+        doubling.append(
+            f"""d{i} AS MATERIALIZED (
+              SELECT a.doc_id, COALESCE(b.anc, a.anc) AS anc
+              FROM d{i - 1} a LEFT JOIN d{i - 1} b ON b.doc_id = a.anc
+            )"""
+        )
+    out["forest_roots"] = f"""{forest_core[0].rstrip().rstrip(',')},
+      fedges AS (
+        SELECT child_doc, parent_doc FROM (
+        {forest_core[1].rsplit(') WHERE rk = 1', 1)[0]}
+        ) WHERE rk = 1
+      ),
+      fdocs AS (SELECT DISTINCT doc_id FROM live),
+      {', '.join(doubling)}
+      SELECT dd.doc_id, e.parent_doc, r.anc AS forest_root
+      FROM fdocs dd
+      LEFT JOIN fedges e ON e.child_doc = dd.doc_id
+      JOIN d10 r ON r.doc_id = dd.doc_id"""
+
+    # ---- simhash_pairs: bit-string replay of the 64-bit fingerprint ------
+    from har2tree_spark.text.dedup import simhash_band_layout  # noqa: PLC0415
+
+    layout = simhash_band_layout(9)  # max_hamming=8 -> bands=9
+    band_cases = " ".join(
+        f"WHEN {b} THEN substr(f, {64 - s - w + 1}, {w})"
+        for b, (s, w) in enumerate(layout)
+    )
+    ham_expr = (
+        "len(list_filter(range(1, 65), "
+        "i -> substr(fa, CAST(i AS INTEGER), 1) <> substr(fb, CAST(i AS INTEGER), 1)))"
+    )
+    out["simhash_pairs"] = rf"""
+      WITH toks AS (
+        SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+      ),
+      hx AS (SELECT id, list_transform(w, t -> substr(md5(t), 1, 16)) AS hs FROM toks),
+      bits AS (
+        SELECT id, b,
+          CASE WHEN list_sum(list_transform(hs, h ->
+            CASE WHEN ((strpos('0123456789abcdef',
+                          substr(h, CAST((63 - b) // 4 AS INTEGER) + 1, 1)) - 1)
+                       >> CAST(b % 4 AS INTEGER)) & 1 = 1
+            THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END AS bit
+        FROM hx, (SELECT unnest(range(0, 64)) AS b) rb
+      ),
+      fp AS (SELECT id, string_agg(bit, '' ORDER BY b DESC) AS f FROM bits GROUP BY id),
+      banded AS (
+        SELECT id, f, band, CASE band {band_cases} END AS bh
+        FROM fp, (SELECT unnest(range(0, {len(layout)})) AS band) rb2
+      ),
+      okb AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING COUNT(*) <= 64),
+      bk AS (SELECT banded.* FROM banded JOIN okb USING (band, bh)),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               ANY_VALUE(a.f) AS fa, ANY_VALUE(b.f) AS fb
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+        GROUP BY a.id, b.id
+      )
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             CAST({ham_expr} AS BIGINT) AS hamming
+      FROM pairs WHERE {ham_expr} <= 8"""
 
     zone = grid.sql_cell("CAST(SUBSTR(tok, 2, 18) AS BIGINT)", grid.COARSE_RES)
     pixcell = grid.sql_cell("CAST(SUBSTR(tok, 2, 18) AS BIGINT)", grid.FINE_RES)
