@@ -457,7 +457,10 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.col("offset").alias("cand_offset"),
     ).filter(F.col("cell").isNotNull())
-    out = knn_join(probes, cands, k=1, max_ring=4, exclude_self=True)
+    # two_phase: probes == the full table here (self-kNN), so the single-pass
+    # 81-offset disk would amplify the whole table; phase 1 is 9x and only
+    # radius-1 misses widen (result-identical, asserted in pytest)
+    out = knn_join(probes, cands, k=1, max_ring=4, exclude_self=True, two_phase=True)
     return out.select(
         "doc_id",
         F.col("probe_id").cast("long"),

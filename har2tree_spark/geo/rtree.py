@@ -86,6 +86,49 @@ class STRtree:
         ]
         return self.order[hit]
 
+    def query_pairs(self, xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Fully vectorized batch probe: (point_idx, box_idx) arrays of every
+        (point, candidate-box) containment pair. One level-synchronous
+        frontier of (point, node) pairs descends the tree — no per-point
+        Python loop, so an Arrow batch of 10^4 probes costs a handful of
+        numpy passes instead of 10^4 tree walks."""
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        npts = len(xs)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if self.n == 0 or npts == 0:
+            return empty
+        pt = np.arange(npts, dtype=np.int64)
+        nd = np.zeros(npts, dtype=np.int64)
+        for lvl in range(len(self.levels) - 1, 0, -1):
+            b = self.levels[lvl][nd]
+            px, py = xs[pt], ys[pt]
+            m = (b[:, 0] <= px) & (px <= b[:, 2]) & (b[:, 1] <= py) & (py <= b[:, 3])
+            pt, nd = pt[m], nd[m]
+            if len(pt) == 0:
+                return empty
+            n_child = len(self.levels[lvl - 1])
+            cnt = np.minimum((nd + 1) * FANOUT, n_child) - nd * FANOUT
+            csum = np.concatenate(([0], np.cumsum(cnt)))
+            offs = np.arange(csum[-1], dtype=np.int64) - np.repeat(csum[:-1], cnt)
+            pt = np.repeat(pt, cnt)
+            nd = np.repeat(nd, cnt) * FANOUT + offs
+        b = self.levels[0][nd]
+        px, py = xs[pt], ys[pt]
+        m = (b[:, 0] <= px) & (px <= b[:, 2]) & (b[:, 1] <= py) & (py <= b[:, 3])
+        return pt[m], self.order[nd[m]]
+
     def query_points(self, xs: np.ndarray, ys: np.ndarray) -> list[np.ndarray]:
-        """Batch probe: candidate box indices per point."""
-        return [self.query_point(float(x), float(y)) for x, y in zip(xs, ys)]
+        """Batch probe: candidate box indices per point (thin wrapper over
+        query_pairs, kept for per-point callers)."""
+        pt, box = self.query_pairs(xs, ys)
+        out: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * len(np.asarray(xs))
+        if len(pt):
+            order = np.argsort(pt, kind="stable")
+            pt_s, box_s = pt[order], box[order]
+            bounds = np.flatnonzero(np.diff(pt_s)) + 1
+            for p, grp in zip(
+                pt_s[np.concatenate(([0], bounds))], np.split(box_s, bounds)
+            ):
+                out[int(p)] = grp
+        return out

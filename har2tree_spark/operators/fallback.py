@@ -71,30 +71,21 @@ def neighbor_cells(df: DataFrame, cell_col: str, radius: int, res: int = grid.FI
     )
 
 
-def knn_join(
+def _disk_knn(
     probes: DataFrame,
     candidates: DataFrame,
-    k: int = 1,
-    max_ring: int = 4,
-    res: int = grid.FINE_RES,
-    doc_local: bool = True,
-    exclude_self: bool = False,
+    k: int,
+    radius: int,
+    res: int,
+    keys: list[str],
+    exclude_self: bool,
 ) -> DataFrame:
-    """k nearest candidate rows per probe by grid distance, searching the
-    ring expansion up to ``max_ring``. probes needs (doc_id?, probe_id,
-    cell); candidates needs (doc_id?, cand_id, cell). Returns one row per
-    (probe, rank<=k) that found a neighbor.
-
-    One shuffle total: the disk explode is narrow; the equi-join on
-    (doc_id?, cell) hashes both sides once. At 10^12 scale the alternative —
-    per-ring iterative joins — costs max_ring shuffles; exploding the disk
-    trades replication factor (2R+1)^2 on the (small, unmatched) probe side
-    for a single pass, which wins when probes << candidates."""
-    keys = ["doc_id"] if doc_local else []
+    """Single-pass disk kNN: explode the (2r+1)^2 neighbor disk of each
+    probe, equi-join on the neighbor cell, rank by (ring, d2)."""
     p = neighbor_cells(
         probes.select(*keys, "probe_id", F.col("cell").alias("_pc")),
         "_pc",
-        max_ring,
+        radius,
         res,
     )
     c = candidates.select(*keys, "cand_id", F.col("cell").alias("nbr_cell"), "cand_offset")
@@ -111,6 +102,49 @@ def knn_join(
         .filter(F.col("rk") <= k)
         .select(*keys, "probe_id", "cand_id", "ring", "d2", "rk")
     )
+
+
+def knn_join(
+    probes: DataFrame,
+    candidates: DataFrame,
+    k: int = 1,
+    max_ring: int = 4,
+    res: int = grid.FINE_RES,
+    doc_local: bool = True,
+    exclude_self: bool = False,
+    two_phase: bool = False,
+) -> DataFrame:
+    """k nearest candidate rows per probe by grid distance, searching the
+    ring expansion up to ``max_ring``. probes needs (doc_id?, probe_id,
+    cell); candidates needs (doc_id?, cand_id, cell). Returns one row per
+    (probe, rank<=k) that found a neighbor.
+
+    two_phase=False (default): one shuffle total — the disk explode is
+    narrow; the equi-join on (doc_id?, cell) hashes both sides once. The
+    (2R+1)^2 replication lands on the probe side only, which wins when
+    probes << candidates (the fallback-cascade case).
+
+    two_phase=True: for self-kNN (probes ≈ candidates) the full-disk
+    explode would amplify the WHOLE table (81x at R=4). Phase 1 searches
+    only radius 1 (9 cells, where grid locality puts almost every nearest
+    neighbor); probes with >= k matches there are globally correct (any
+    farther candidate has a larger ring). Only the unmatched remainder
+    re-runs at the full radius, so the expected shuffle amplification is
+    ~9x + 81x * (unmatched fraction). Result-identical to single-pass."""
+    keys = ["doc_id"] if doc_local else []
+    if not two_phase or max_ring <= 1:
+        return _disk_knn(probes, candidates, k, max_ring, res, keys, exclude_self)
+    r1 = _disk_knn(probes, candidates, k, 1, res, keys, exclude_self)
+    done = (
+        r1.groupBy(*keys, "probe_id")
+        .agg(F.count("*").alias("_nm"))
+        .filter(F.col("_nm") >= k)
+        .select(*keys, "probe_id")
+    )
+    r1_done = r1.join(done, [*keys, "probe_id"], "left_semi")
+    rest = probes.join(done, [*keys, "probe_id"], "left_anti")
+    r2 = _disk_knn(rest, candidates, k, max_ring, res, keys, exclude_self)
+    return r1_done.unionByName(r2)
 
 
 def pip_join(
@@ -171,21 +205,30 @@ def pip_join(
     def probe(batches):
         polys_l, boxes_l = bc.value
         tree = STRtree(boxes_l)
+        cols = list(keep_cols)
         for pdf in batches:
             lon = pdf["lon"].to_numpy(dtype=np.float64)
             lat = pdf["lat"].to_numpy(dtype=np.float64)
-            rows = []
-            cand_lists = tree.query_points(lon, lat)
-            for i, cands in enumerate(cand_lists):
-                for ci in cands:
-                    pid, verts = polys_l[int(ci)]
-                    if bool(
-                        points_in_polygon(
-                            np.asarray([lon[i]]), np.asarray([lat[i]]), verts
-                        )[0]
-                    ):
-                        rows.append((*(pdf[c].iloc[i] for c in keep_cols), pid))
-            yield pd.DataFrame(rows, columns=[*keep_cols, "poly_id"])
+            # vectorized bbox pairs, then ONE ray cast per candidate polygon
+            # over all of its probe points (no per-row Python)
+            pt, box = tree.query_pairs(lon, lat)
+            hit_rows: list[np.ndarray] = []
+            hit_pids: list[str] = []
+            for ci in np.unique(box):
+                pts = pt[box == ci]
+                pid, verts = polys_l[int(ci)]
+                inside = points_in_polygon(lon[pts], lat[pts], verts)
+                kept = pts[inside]
+                hit_rows.append(kept)
+                hit_pids.extend([pid] * len(kept))
+            if hit_rows:
+                idx = np.concatenate(hit_rows)
+                out = pdf.iloc[idx][cols].copy()
+                out["poly_id"] = hit_pids
+            else:
+                out = pdf.iloc[:0][cols].copy()
+                out["poly_id"] = pd.Series(dtype="object")
+            yield out
 
     return points.select(*keep_cols, "lon", "lat").mapInPandas(probe, out_schema)
 

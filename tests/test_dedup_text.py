@@ -76,3 +76,25 @@ def test_dedup_on_driver_documents(spark):
     assert got.count() >= 0  # runs over the real table without error
     q = quality.quality_features(d)
     assert q.count() == d.count()
+
+
+def test_degenerate_corpus_bounded(spark):
+    """1k identical docs: every pair generator must stay bounded (bucket /
+    document-frequency caps drop the degenerate groups instead of emitting
+    ~500k quadratic pairs)."""
+    rows = [(i, "same boilerplate text repeated in every single document") for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.minhash_lsh_pairs(d, max_bucket=64).count() == 0
+    assert dedup.simhash_pairs(d, max_hamming=3, max_bucket=64).count() == 0
+    assert dedup.ngram_jaccard_pairs(d, max_df=100).count() == 0
+
+
+def test_simhash_bands_guard(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.simhash_pairs(_docs(spark), max_hamming=8, bands=4)
+    # band layout partitions all 64 bits
+    layout = dedup.simhash_band_layout(9)
+    assert sum(w for _, w in layout) == 64
+    assert layout[0] == (0, 8)

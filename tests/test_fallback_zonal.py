@@ -133,3 +133,25 @@ def test_salted_cell_counts_match_plain(spark):
         .sort_index()
     )
     assert (plain == salted).all()
+
+
+def test_knn_two_phase_identical(spark):
+    """Self-kNN: two_phase must be result-identical to the single-pass
+    81-offset disk join on real parsed features."""
+    docs = spark.createDataFrame(gen_docs(7, 300), DOCUMENTS_SCHEMA)
+    f = parse_documents(docs).filter(F.col("cell").isNotNull())
+    probes = f.select("doc_id", F.col("span_idx").alias("probe_id"), "cell")
+    cands = f.select(
+        "doc_id",
+        F.col("span_idx").alias("cand_id"),
+        "cell",
+        F.col("offset").alias("cand_offset"),
+    )
+    kw = dict(k=1, max_ring=4, exclude_self=True)
+    single = knn_join(probes, cands, **kw).toPandas()
+    two = knn_join(probes, cands, two_phase=True, **kw).toPandas()
+    key = ["doc_id", "probe_id", "cand_id", "ring", "d2", "rk"]
+    a = single[key].sort_values(key).reset_index(drop=True)
+    b = two[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0

@@ -101,3 +101,29 @@ def test_point_range():
     lon, lat = grid.np_point(k)
     assert (lon >= -180).all() and (lon < 180).all()
     assert (lat >= -90).all() and (lat < 90).all()
+
+
+def test_cell_hash_no_overflow(spark):
+    """Keys past the old int64-overflow threshold (k*MULT >= 2^63) must
+    produce identical cells in all three dialects (ADVICE round 1)."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    ks = [3474701543, 3474701544, 4000000000, 999999999999999]
+    want = grid.np_cell(np.asarray(ks, dtype=np.int64), grid.FINE_RES).tolist()
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    got = [
+        r[0]
+        for r in df.select(grid.col_cell(F.col("k"), grid.FINE_RES).alias("c"))
+        .orderBy("k")  # createDataFrame preserves order only per partition
+        .collect()
+    ]
+    assert got == want
+    con = duckdb.connect()
+    sql = grid.sql_cell("k", grid.FINE_RES)
+    duck = [
+        con.execute(f"SELECT {sql} FROM (SELECT CAST(? AS BIGINT) AS k)", [k]).fetchone()[0]
+        for k in ks
+    ]
+    assert duck == want
