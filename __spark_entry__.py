@@ -470,6 +470,128 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pages_root_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 pages-root fill (har2tree.py:634-645 analogue): img/js spans lose
+    their page cell (the pageref-less entry analogue) and are filled with
+    the doc's first page via first-over-window."""
+    from har2tree_spark.operators import attrs  # noqa: PLC0415
+
+    f = _features(spark, sf_dir).withColumn(
+        "coarse_cell",
+        F.when(~F.col("kind").isin("img", "js"), F.col("coarse_cell")),
+    )
+    return attrs.pages_root_fill(f).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("page_cell").cast("long").alias("page_cell"),
+        F.col("page_root_idx").cast("long").alias("page_root_idx"),
+    )
+
+
+def q_resources_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 per-span digest set (nodes.py:651-659 analogue)."""
+    from har2tree_spark.operators import attrs  # noqa: PLC0415
+
+    return attrs.resources_hashes(_features(spark, sf_dir)).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "n_hashes",
+        "resources_hashes",
+    )
+
+
+def q_marker_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23/F24 + A2 cookie analogue: per-zone marker set union with
+    cross-zone ('third-party') counts."""
+    from har2tree_spark.operators import attrs  # noqa: PLC0415
+
+    m = attrs.marker_extract(_features(spark, sf_dir))
+    return attrs.marker_rollup(m).select(
+        "doc_id",
+        F.col("zone_cell").cast("long").alias("zone_cell"),
+        "n_markers",
+        "n_cross_zone",
+        "n_receivers",
+    )
+
+
+def q_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25 identifiers extract: distinct sorted id tokens per span."""
+    from har2tree_spark.operators import attrs  # noqa: PLC0415
+
+    return attrs.identifiers_extract(_features(spark, sf_dir)).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "n_ids",
+        "identifiers",
+    )
+
+
+def q_key_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7 key classification + normalization over mangled refs
+    (numeric = IP-literal analogue, xn-- = IDNA analogue)."""
+    from har2tree_spark.operators import attrs  # noqa: PLC0415
+
+    f = _features(spark, sf_dir)
+    m = F.pmod(F.col("span_idx"), 4)
+    mangled = (
+        F.when(F.col("media_ref") == "", "")
+        .when(m == 0, F.substring(F.col("media_ref"), 2, 1 << 20))
+        .when(m == 1, F.concat(F.lit("xn--"), F.reverse(F.col("media_ref"))))
+        .when(m == 2, F.col("media_ref"))
+        .otherwise(F.upper(F.col("media_ref")))
+    )
+    return attrs.key_class(f.withColumn("mref", mangled), ref_col="mref").select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "ref",
+        "ref_class",
+        "decoded_ref",
+    )
+
+
+def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10/F14 multi-way payload decode dispatch (nodes.py:260-498
+    analogue) incl. the base64 blind-retry (padding-fix) arm."""
+    from har2tree_spark.operators import decode  # noqa: PLC0415
+
+    f = _live(spark, sf_dir)
+    m = F.pmod(F.col("span_idx"), 6)
+    b64 = F.base64(F.col("text").cast("binary"))
+    pay = (
+        F.when(m == 0, F.concat(F.lit("data:text/plain;base64,"), b64))
+        .when(m == 1, b64)
+        .when(m == 2, F.regexp_replace(b64, "=+$", ""))
+        .when(m == 3, F.hex(F.col("text")))
+        .when(m == 4, F.concat(F.lit('{"v":"'), F.col("text"), F.lit('"}')))
+        .otherwise(F.concat(F.lit("p "), F.col("text")))
+    )
+    out = decode.decode_dispatch(f.withColumn("payload", pay))
+    return out.select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "decode_kind",
+        "decode_ok",
+        "decoded",
+    )
+
+
+def q_tree_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 d3-tree JSON export (nodes.py:50-66 analogue) — rows-only (the
+    nested per-doc assembly is not SQL-expressible; golden-tested in
+    tests/test_export.py). Tree serialized as md5 for comparability."""
+    from har2tree_spark.operators import export  # noqa: PLC0415
+
+    feats = _features(spark, sf_dir)
+    jr = cascade.resolve_rank(feats)
+    t = export.tree_json(jr, feats)
+    return t.select(
+        "doc_id",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.md5("tree").alias("tree_md5"),
+    )
+
+
 def q_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping-sets aggregate over lineitem (beyond-reference OLAP
     surface; decimal-exact sums)."""
@@ -559,6 +681,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn": q_geo_knn,
         "cube_stats": q_cube_stats,
         "pivot_status": q_pivot_status,
+        "pages_root_fill": q_pages_root_fill,
+        "resources_hashes": q_resources_hashes,
+        "marker_rollup": q_marker_rollup,
+        "identifiers": q_identifiers,
+        "key_class": q_key_class,
+        "decode_dispatch": q_decode_dispatch,
+        "tree_json": q_tree_json,
     }
 
 
@@ -1212,6 +1341,141 @@ def oracle_sql() -> dict[str, str]:
       SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
              CAST({ham_expr} AS BIGINT) AS hamming
       FROM pairs WHERE {ham_expr} <= 8"""
+
+    # ---- attrs family -----------------------------------------------------
+    key_re = r"^k(0|[1-9][0-9]{0,14})$"
+    out["pages_root_fill"] = f"""{cte},
+      pg AS (
+        SELECT doc_id, span_idx, "offset",
+               CASE WHEN kind NOT IN ('img', 'js') THEN {coarse} END AS cc
+        FROM live
+      ),
+      filled AS (
+        SELECT doc_id, span_idx, "offset",
+               COALESCE(cc, FIRST_VALUE(cc IGNORE NULLS) OVER (
+                 PARTITION BY doc_id ORDER BY "offset", span_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               )) AS page_cell
+        FROM pg
+      )
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+             CAST(page_cell AS BIGINT) AS page_cell,
+             CAST(FIRST_VALUE(span_idx) OVER (
+               PARTITION BY doc_id, page_cell ORDER BY "offset", span_idx
+             ) AS BIGINT) AS page_root_idx
+      FROM filled"""
+
+    reftoks = (
+        "list_filter(string_split(text, ' '), "
+        f"t -> regexp_matches(t, '{key_re}') AND t IS DISTINCT FROM key)"
+    )
+    out["resources_hashes"] = f"""{cte}
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+             CAST(len(arr) AS BIGINT) AS n_hashes,
+             array_to_string(arr, ',') AS resources_hashes
+      FROM (
+        SELECT doc_id, span_idx,
+               list_sort(list_distinct(
+                 (CASE WHEN text <> '' THEN [sha256(text)]
+                       ELSE []::VARCHAR[] END)
+                 || list_transform({reftoks}, t -> sha256(t))
+               )) AS arr
+        FROM live
+      )"""
+
+    mcell = grid.sql_cell("CAST(SUBSTR(marker, 2, 18) AS BIGINT)", grid.COARSE_RES)
+    out["marker_rollup"] = f"""{cte},
+      mk AS (
+        SELECT doc_id, span_idx, {coarse} AS cc, t.marker
+        FROM live, LATERAL (SELECT unnest({reftoks}) AS marker) t
+      )
+      SELECT doc_id, CAST({mcell} AS BIGINT) AS zone_cell,
+             CAST(COUNT(DISTINCT marker) AS BIGINT) AS n_markers,
+             CAST(COUNT(DISTINCT CASE WHEN {mcell} <> cc THEN marker END)
+                  AS BIGINT) AS n_cross_zone,
+             CAST(COUNT(DISTINCT span_idx) AS BIGINT) AS n_receivers
+      FROM mk GROUP BY doc_id, {mcell}"""
+
+    out["identifiers"] = f"""{cte}
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+             CAST(len(ids) AS BIGINT) AS n_ids,
+             array_to_string(ids, ',') AS identifiers
+      FROM (SELECT doc_id, span_idx,
+                   list_sort(list_distinct(regexp_extract_all(text, 'k[0-9]+')))
+                     AS ids
+            FROM live)"""
+
+    out["key_class"] = f"""{cte},
+      mangled AS (
+        SELECT doc_id, span_idx,
+               CASE WHEN media_ref = '' THEN ''
+                    WHEN span_idx % 4 = 0 THEN substr(media_ref, 2)
+                    WHEN span_idx % 4 = 1 THEN 'xn--' || reverse(media_ref)
+                    WHEN span_idx % 4 = 2 THEN media_ref
+                    ELSE upper(media_ref) END AS ref
+        FROM live
+      )
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, ref,
+             CASE WHEN ref = '' THEN 'none'
+                  WHEN regexp_matches(ref, '{key_re}') THEN 'canonical'
+                  WHEN regexp_matches(ref, '^[0-9]+$') THEN 'numeric'
+                  WHEN regexp_matches(ref, '^xn--') THEN 'encoded'
+                  ELSE 'other' END AS ref_class,
+             CASE WHEN ref = '' THEN ''
+                  WHEN regexp_matches(ref, '{key_re}') THEN ref
+                  WHEN regexp_matches(ref, '^[0-9]+$') THEN 'k' || ref
+                  WHEN regexp_matches(ref, '^xn--') THEN reverse(substr(ref, 5))
+                  ELSE lower(ref) END AS decoded_ref
+      FROM mangled"""
+
+    b64_re = "^[A-Za-z0-9+/]+={0,2}$"
+    out["decode_dispatch"] = f"""{cte},
+      pay AS (
+        SELECT doc_id, span_idx,
+               CASE span_idx % 6
+                 WHEN 0 THEN 'data:text/plain;base64,' || to_base64(encode(text))
+                 WHEN 1 THEN to_base64(encode(text))
+                 WHEN 2 THEN regexp_replace(to_base64(encode(text)), '=+$', '')
+                 WHEN 3 THEN hex(text)
+                 WHEN 4 THEN '{{"v":"' || text || '"}}'
+                 ELSE 'p ' || text
+               END AS p
+        FROM live
+      ),
+      d AS (
+        SELECT doc_id, span_idx, p,
+               split_part(p, ',', 1) AS hdr, split_part(p, ',', 2) AS body
+        FROM pay
+      )
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+             CASE WHEN p = '' THEN 'empty'
+                  WHEN p LIKE 'data:%' AND hdr LIKE '%;base64%' THEN 'data_uri_b64'
+                  WHEN p LIKE 'data:%' THEN 'data_uri_raw'
+                  WHEN regexp_matches(p, '^[0-9a-fA-F]+$') AND length(p) % 2 = 0 THEN 'hex'
+                  WHEN regexp_matches(p, '{b64_re}') AND length(p) % 4 = 0 THEN 'base64'
+                  WHEN regexp_matches(p, '{b64_re}') THEN 'base64_padfix'
+                  WHEN p LIKE '{{%' OR p LIKE '[%' THEN 'json'
+                  ELSE 'plain' END AS decode_kind,
+             CASE WHEN p LIKE 'data:%' AND hdr LIKE '%;base64%'
+                    THEN regexp_matches(body, '{b64_re}') AND length(body) % 4 = 0
+                  WHEN NOT (regexp_matches(p, '^[0-9a-fA-F]+$') AND length(p) % 2 = 0)
+                       AND regexp_matches(p, '{b64_re}') AND length(p) % 4 <> 0
+                    THEN length(p) % 4 <> 1
+                  ELSE TRUE END AS decode_ok,
+             CASE WHEN p = '' THEN ''
+                  WHEN p LIKE 'data:%' AND hdr LIKE '%;base64%'
+                    THEN CASE WHEN regexp_matches(body, '{b64_re}') AND length(body) % 4 = 0
+                              THEN decode(from_base64(body)) ELSE '' END
+                  WHEN p LIKE 'data:%' THEN body
+                  WHEN regexp_matches(p, '^[0-9a-fA-F]+$') AND length(p) % 2 = 0
+                    THEN decode(from_hex(p))
+                  WHEN regexp_matches(p, '{b64_re}') AND length(p) % 4 = 0
+                    THEN decode(from_base64(p))
+                  WHEN regexp_matches(p, '{b64_re}') AND length(p) % 4 <> 1
+                    THEN decode(from_base64(p || repeat('=', (4 - length(p) % 4) % 4)))
+                  WHEN regexp_matches(p, '{b64_re}') THEN ''
+                  ELSE p END AS decoded
+      FROM d"""
 
     zone = grid.sql_cell("CAST(SUBSTR(tok, 2, 18) AS BIGINT)", grid.COARSE_RES)
     pixcell = grid.sql_cell("CAST(SUBSTR(tok, 2, 18) AS BIGINT)", grid.FINE_RES)
