@@ -29,9 +29,17 @@ from har2tree_spark.sources import events_spans  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # default 16, not 32: Python-stage jobs (mapInPandas kernels) spawn ~2
+    # threads/core of worker traffic, so local[32] on a 32-core host measures
+    # scheduler contention, not engine speed (see BENCH/BASELINE.md variance
+    # analysis). $SPARK_GRAFT_CPUS still wins when the driver sets it.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
-    spark = get_spark("bench", parallelism=cpus, driver_memory="24g")
+    # shuffle partitions at 4x cores: enough tasks per stage that one
+    # straggler cannot gate the whole stage
+    spark = get_spark(
+        "bench", parallelism=cpus, shuffle_partitions=4 * cpus, driver_memory="24g"
+    )
 
     timings: dict[str, float] = {}
 

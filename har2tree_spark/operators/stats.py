@@ -27,10 +27,13 @@ def compute_depths(join_result: DataFrame, max_doubling: int | None = None) -> D
     action per pass — per-pass driver actions were the scaling bottleneck
     (fixed latency independent of cores)."""
     if "depth" in join_result.columns:
-        known = join_result.filter(F.col("depth").isNotNull())
-        # all-null depth (rank mode) falls through to doubling
-        if join_result.filter(F.col("depth").isNull()).limit(1).count() == 0:
-            return known.select("doc_id", "span_idx", "depth")
+        # depth is homogeneous by construction: exact mode fills every row,
+        # rank mode nulls every row — so ONE peeked row decides the path
+        # (the previous isNull() existence filter scanned the whole frame
+        # in exact mode just to find nothing)
+        probe = join_result.select("depth").limit(1).collect()
+        if probe and probe[0][0] is not None:
+            return join_result.select("doc_id", "span_idx", "depth")
     if max_doubling is None:
         max_rows = (
             join_result.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
