@@ -592,6 +592,71 @@ def q_tree_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sidecar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 sidecar scan: optional per-doc companion columns attach as
+    nullable columns via a doc-keyed left join (har2tree.py:105-150
+    analogue). Sidecar here: derived stats for even doc_ids only."""
+    from har2tree_spark.sources import sidecar  # noqa: PLC0415
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    side = d.filter(F.pmod(F.col("doc_id"), 2) == 0).select(
+        "doc_id",
+        F.length("text").cast("long").alias("side_len"),
+        F.lit("even").alias("side_tag"),
+    )
+    out = sidecar.with_sidecar(d.select("doc_id"), side)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "side_len", "side_tag"
+    )
+
+
+def q_ref_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 local-only predicate + F16 url_cleanup drop-rules over mangled
+    refs (wrapping quotes, local prefixes, trailing junk)."""
+    from har2tree_spark import functions as HF  # noqa: PLC0415
+
+    f = _live(spark, sf_dir)
+    m = F.pmod(F.col("span_idx"), 5)
+    raw = (
+        F.when(m == 0, F.concat(F.lit('"'), F.col("media_ref"), F.lit('"')))
+        .when(m == 1, F.concat(F.lit("about:"), F.col("media_ref")))
+        .when(m == 2, F.concat(F.col("media_ref"), F.lit(" trailing junk")))
+        .when(m == 3, F.concat(F.lit("'"), F.col("media_ref"), F.lit("'")))
+        .otherwise(F.col("media_ref"))
+    )
+    clean, reason = HF.ref_cleanup(raw)
+    return f.select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        raw.alias("raw_ref"),
+        clean.alias("clean_ref"),
+        reason.alias("drop_reason"),
+    )
+
+
+def q_header_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 header lookup: case-insensitive first-match over an
+    array<struct<name,value>> column (helper.py get_header_value
+    analogue), pure higher-order functions."""
+    from har2tree_spark import functions as HF  # noqa: PLC0415
+
+    f = _live(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    headers = F.transform(
+        w,
+        lambda t, i: F.struct(
+            F.concat(F.lit("H"), F.pmod(i, 3).cast("string")).alias("name"),
+            t.alias("value"),
+        ),
+    )
+    return f.select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        HF.header_lookup(headers, "h1").alias("h1_value"),
+        HF.header_lookup(headers, "H2").alias("h2_value"),
+    )
+
+
 def q_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping-sets aggregate over lineitem (beyond-reference OLAP
     surface; decimal-exact sums)."""
@@ -688,6 +753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_class": q_key_class,
         "decode_dispatch": q_decode_dispatch,
         "tree_json": q_tree_json,
+        "sidecar_join": q_sidecar_join,
+        "ref_cleanup": q_ref_cleanup,
+        "header_lookup": q_header_lookup,
     }
 
 
@@ -1476,6 +1544,63 @@ def oracle_sql() -> dict[str, str]:
                   WHEN regexp_matches(p, '{b64_re}') THEN ''
                   ELSE p END AS decoded
       FROM d"""
+
+    out["sidecar_join"] = """
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id, s.side_len, s.side_tag
+      FROM documents d
+      LEFT JOIN (
+        SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS side_len,
+               'even' AS side_tag
+        FROM documents WHERE doc_id % 2 = 0
+      ) s ON s.doc_id = d.doc_id"""
+
+    out["ref_cleanup"] = f"""{cte},
+      raw AS (
+        SELECT doc_id, span_idx,
+               CASE span_idx % 5
+                 WHEN 0 THEN '"' || media_ref || '"'
+                 WHEN 1 THEN 'about:' || media_ref
+                 WHEN 2 THEN media_ref || ' trailing junk'
+                 WHEN 3 THEN '''' || media_ref || ''''
+                 ELSE media_ref
+               END AS raw_ref
+        FROM live
+      ),
+      st AS (
+        SELECT doc_id, span_idx, raw_ref,
+               split_part(
+                 CASE WHEN regexp_matches(trim(raw_ref), '^".*"$')
+                        OR regexp_matches(trim(raw_ref), '^''.*''$')
+                      THEN trim(substr(trim(raw_ref), 2,
+                                       length(trim(raw_ref)) - 2))
+                      ELSE trim(raw_ref) END, ' ', 1) AS first_tok
+        FROM raw
+      )
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, raw_ref,
+             CASE WHEN first_tok = '' THEN NULL
+                  WHEN first_tok LIKE 'local:%' OR first_tok LIKE 'about:%'
+                       OR first_tok LIKE 'data:%' THEN NULL
+                  ELSE first_tok END AS clean_ref,
+             CASE WHEN first_tok = '' THEN 'empty'
+                  WHEN first_tok LIKE 'local:%' OR first_tok LIKE 'about:%'
+                       OR first_tok LIKE 'data:%' THEN 'local_only'
+                  ELSE NULL END AS drop_reason
+      FROM st"""
+
+    out["header_lookup"] = f"""{cte},
+      hdr AS (
+        SELECT doc_id, span_idx,
+               list_transform(range(1, len(w) + 1),
+                 i -> {{'name': 'H' || CAST((i - 1) % 3 AS VARCHAR),
+                        'value': w[CAST(i AS INTEGER)]}}) AS headers
+        FROM (SELECT doc_id, span_idx, string_split(text, ' ') AS w FROM live)
+      )
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+             list_extract(list_filter(headers,
+               h -> lower(h['name']) = 'h1'), 1)['value'] AS h1_value,
+             list_extract(list_filter(headers,
+               h -> lower(h['name']) = 'h2'), 1)['value'] AS h2_value
+      FROM hdr"""
 
     zone = grid.sql_cell("CAST(SUBSTR(tok, 2, 18) AS BIGINT)", grid.COARSE_RES)
     pixcell = grid.sql_cell("CAST(SUBSTR(tok, 2, 18) AS BIGINT)", grid.FINE_RES)

@@ -1,0 +1,130 @@
+"""attrs family (W5/A7/F23-25/F6-7), decode dispatch (F9/F10/F14),
+sidecar scan (S2), header lookup + ref cleanup (F8/F16/P4)."""
+
+from pyspark.sql import functions as F
+
+from har2tree_spark import functions as HF
+from har2tree_spark.datagen import gen_docs
+from har2tree_spark.operators import attrs, decode
+from har2tree_spark.operators.parse import parse_documents
+from har2tree_spark.schema import DOCUMENTS_SCHEMA
+from har2tree_spark.sources.sidecar import with_sidecar
+
+
+def _feats(spark, n=100, seed=13):
+    docs = spark.createDataFrame(gen_docs(seed, n), DOCUMENTS_SCHEMA)
+    return parse_documents(docs)
+
+
+def test_pages_root_fill_covers_every_span(spark):
+    f = _feats(spark).withColumn(
+        "coarse_cell",
+        F.when(~F.col("kind").isin("img", "js"), F.col("coarse_cell")),
+    )
+    got = attrs.pages_root_fill(f)
+    n_live = f.filter(F.col("n_live") > 0).count()
+    assert got.count() == n_live
+    assert got.filter(F.col("page_cell").isNull()).count() == 0
+    # every page root is a member of its own page
+    roots = got.filter(F.col("span_idx") == F.col("page_root_idx"))
+    assert roots.select("doc_id", "page_cell").distinct().count() == \
+        got.select("doc_id", "page_cell").distinct().count()
+
+
+def test_resources_hashes_sorted_distinct(spark):
+    got = attrs.resources_hashes(_feats(spark)).toPandas()
+    for _, r in got.head(50).iterrows():
+        hs = r.resources_hashes.split(",") if r.resources_hashes else []
+        assert len(hs) == r.n_hashes == len(set(hs))
+        assert hs == sorted(hs)
+
+
+def test_marker_cross_zone_flag(spark):
+    m = attrs.marker_extract(_feats(spark))
+    pdf = m.toPandas()
+    assert (pdf.cross_zone == (pdf.marker_cell != pdf.coarse_cell)).all() if "coarse_cell" in pdf else True
+    r = attrs.marker_rollup(m).toPandas()
+    assert (r.n_cross_zone <= r.n_markers).all()
+
+
+def test_key_class_arms(spark):
+    rows = [("d", 0, 10, 1, "k12"), ("d", 1, 10, 1, "12"),
+            ("d", 2, 10, 1, "xn--21k"), ("d", 3, 10, 1, "WHAT"),
+            ("d", 4, 10, 1, "")]
+    f = spark.createDataFrame(
+        rows, "doc_id string, span_idx int, offset int, n_live int, media_ref string"
+    )
+    got = {r.span_idx: (r.ref_class, r.decoded_ref)
+           for r in attrs.key_class(f).collect()}
+    assert got[0] == ("canonical", "k12")
+    assert got[1] == ("numeric", "k12")
+    assert got[2] == ("encoded", "k12")  # strip xn--, reverse '21k' -> 'k12'
+    assert got[3] == ("other", "what")
+    assert got[4] == ("none", "")
+
+
+def test_decode_dispatch_roundtrip(spark):
+    import base64 as b64mod
+
+    texts = ["hello world", "k1 k2 k3"]
+    rows = []
+    for i, t in enumerate(texts):
+        enc = b64mod.b64encode(t.encode()).decode()
+        rows += [
+            (f"d{i}", 0, f"data:text/plain;base64,{enc}", t, "data_uri_b64"),
+            (f"d{i}", 1, enc, t, "base64"),
+            (f"d{i}", 2, enc.rstrip("="), t,
+             "base64" if len(enc.rstrip("=")) % 4 == 0 else "base64_padfix"),
+            (f"d{i}", 3, t.encode().hex(), t, "hex"),
+            (f"d{i}", 4, '{"v":1}', '{"v":1}', "json"),
+            (f"d{i}", 5, "p " + t, "p " + t, "plain"),
+            (f"d{i}", 6, "", "", "empty"),
+        ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows],
+        "doc_id string, span_idx int, payload string",
+    )
+    got = decode.decode_dispatch(df).collect()
+    want = {(r[0], r[1]): (r[3], r[4]) for r in rows}
+    for r in got:
+        wdec, wkind = want[(r.doc_id, r.span_idx)]
+        assert r.decode_kind == wkind, (r.payload, r.decode_kind, wkind)
+        assert r.decoded == wdec, (r.payload, r.decoded, wdec)
+        assert r.decode_ok
+
+
+def test_decode_unfixable_padding(spark):
+    df = spark.createDataFrame(
+        [("d", 0, "abcde")], "doc_id string, span_idx int, payload string"
+    )  # length % 4 == 1: no padding fixes it
+    r = decode.decode_dispatch(df).collect()[0]
+    assert r.decode_kind == "base64_padfix" and not r.decode_ok and r.decoded == ""
+
+
+def test_sidecar_never_fans_out(spark):
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    side = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "doc_id long, tag string"
+    )
+    got = with_sidecar(docs, side).orderBy("doc_id").collect()
+    assert len(got) == 3
+    assert got[0].tag == "a"  # duplicate sidecar keys reduce to min struct
+    assert got[2].tag is None
+
+
+def test_header_lookup_and_ref_cleanup(spark):
+    df = spark.createDataFrame([("x",)], "k string")
+    headers = F.array(
+        F.struct(F.lit("Content-Type").alias("name"), F.lit("text/html").alias("value")),
+        F.struct(F.lit("content-type").alias("name"), F.lit("dup").alias("value")),
+    )
+    assert df.select(HF.header_lookup(headers, "CONTENT-TYPE").alias("v")).collect()[0].v == "text/html"
+    assert df.select(HF.header_lookup(headers, "missing").alias("v")).collect()[0].v is None
+
+    cases = [('"k1"', "k1", None), ("about:blank", None, "local_only"),
+             ("k2 junk", "k2", None), ("", None, "empty"), ("k3", "k3", None)]
+    cdf = spark.createDataFrame([(c[0],) for c in cases], "r string")
+    clean, reason = HF.ref_cleanup(F.col("r"))
+    got = cdf.select(F.col("r"), clean.alias("c"), reason.alias("why")).collect()
+    for row, (_, wc, ww) in zip(got, cases):
+        assert row.c == wc and row.why == ww, (row.r, row.c, row.why)
