@@ -92,3 +92,49 @@ def test_zonal_by_cell_single_shuffle(spark, tmp_path):
     pix = zonal.rasterize_spans(parse_documents(spark.read.parquet(p)))
     zs = zonal.zonal_stats_by_cell(pix, grid.COARSE_RES)
     assert _n_exchanges(_plan(zs)) <= 2  # distinct-agg needs its expand exchange
+
+
+def test_attr_family_narrow(spark, tmp_path):
+    """resources_hashes / identifiers / key_class / decode_dispatch are pure
+    projections: zero shuffles, whole-stage codegen."""
+    from har2tree_spark.operators import attrs, decode
+
+    p = str(tmp_path / "docs6")
+    gen_documents_df(spark, 50, seed=3).write.parquet(p)
+    feats = parse_documents(spark.read.parquet(p))
+    for df in (
+        attrs.resources_hashes(feats),
+        attrs.identifiers_extract(feats),
+        attrs.key_class(feats),
+        decode.decode_dispatch(feats.withColumn("payload", F.col("text"))),
+    ):
+        plan = _plan(df)
+        assert _n_exchanges(plan) == 0, plan
+        assert "codegen id" in plan
+
+
+def test_marker_rollup_single_shuffle(spark, tmp_path):
+    from har2tree_spark.operators import attrs
+
+    p = str(tmp_path / "docs7")
+    gen_documents_df(spark, 50, seed=3).write.parquet(p)
+    feats = parse_documents(spark.read.parquet(p))
+    roll = attrs.marker_rollup(attrs.marker_extract(feats))
+    # distinct-aggregates expand once; no other exchange beyond the agg pair
+    assert _n_exchanges(_plan(roll)) <= 2
+
+
+def test_tree_json_single_shuffle(spark, tmp_path):
+    from har2tree_spark.operators import export
+    from har2tree_spark.operators.cascade import resolve_rank
+
+    p = str(tmp_path / "docs8")
+    gen_documents_df(spark, 50, seed=3).write.parquet(p)
+    feats = parse_documents(spark.read.parquet(p))
+    jr = resolve_rank(feats)
+    plan = _plan(export.tree_json(jr, feats))
+    # the cascade's own exchanges inline into this plan; tree_json itself
+    # must add at most 2 (the explicit doc_id repartition feeding
+    # mapInPandas + the feature join, which broadcasts at this scale)
+    assert "MapInPandas" in plan
+    assert _n_exchanges(plan) <= _n_exchanges(_plan(jr)) + 2, plan
