@@ -66,9 +66,20 @@ def main() -> None:
     # Interleave the levels and take the best run per level — both levels
     # sample the same noise distribution.
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+    # Cool-down BETWEEN runs: the throttle decays with idle time, and the
+    # two levels burn asymmetrically (a local[2] pass runs ~3.5x longer and
+    # heats the host for the local[8] run that follows). Without the gap
+    # the interleaving still biases whichever level tends to run second.
+    cooldown = int(os.environ.get("SCALING_COOLDOWN_S", "0"))
     runs_small, runs_big = [], []
-    for _ in range(repeats):
+    import time as _time  # noqa: PLC0415
+
+    for i in range(repeats):
+        if i or cooldown:
+            _time.sleep(cooldown)
         runs_small.append(run_level(corpus, n_small))
+        if cooldown:
+            _time.sleep(cooldown)
         runs_big.append(run_level(corpus, n_big))
     r_small = max(runs_small, key=lambda r: r["docs_per_sec"])
     r_big = max(runs_big, key=lambda r: r["docs_per_sec"])

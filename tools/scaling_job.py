@@ -43,15 +43,18 @@ def main() -> None:
     ).count()
     t0 = time.time()
     phases = {}
-    # Materialization strategy (measured at 32 cores, 20k docs):
-    #  - cache the flat cascade output (cheap, reused by stats);
-    #  - cache a SLIM feature projection (scalars only) for tiles/stats —
-    #    caching the full feature table with its array<string> columns as
-    #    JVM objects costs 2.5x the cascade itself (49.5s vs 20.2s);
-    #  - the cascade consumes the full parse exactly once, streamed.
+    # Materialization strategy (measured at 600k docs):
+    #  - parse ONCE: the slim scalar projection (text/ref_tokens dropped —
+    #    caching array<string> JVM objects costs more than the parse) is
+    #    eagerly materialized and feeds BOTH the cascade and the tiles; the
+    #    kernel needs only scalar columns, so nothing re-parses;
+    #  - cache the flat cascade output (cheap, reused by stats).
     feats = parse.parse_documents(docs)
     slim = feats.drop("text", "ref_tokens").persist()
-    jr = cascade.resolve_exact(feats).persist()
+    t1 = time.time()
+    slim.count()
+    phases["parse_s"] = round(time.time() - t1, 2)
+    jr = cascade.resolve_exact(slim).persist()
     t1 = time.time()
     n_join = jr.count()
     phases["cascade_s"] = round(time.time() - t1, 2)
