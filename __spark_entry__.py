@@ -332,6 +332,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane LSH + exact cosine verify —
+    rows-only (hyperplanes are seeded numpy, not SQL-expressible; the
+    bucket-cap bound and pair laws are pytest-covered)."""
+    from har2tree_spark.ann import knn  # noqa: PLC0415
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # tau=0.3: the synthetic embeddings are near-orthogonal random vectors
+    # (cosine ~ N(0, 1/8)), so a production-style 0.9 returns zero rows —
+    # 0.3 keeps the operator's bucket->verify path non-vacuously exercised
+    return knn.embedding_neardup_pairs(e, dim=64, tau=0.3).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs; the oracle replays the 64-bit bit-majority
     fold from md5 hex digits as a bit string."""
@@ -735,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "emb_neardup": q_emb_neardup,
         "simhash_pairs": q_simhash,
         "geo_zonal": q_geo_zonal,
         "geo_cascade_fallback": q_geo_cascade_fallback,

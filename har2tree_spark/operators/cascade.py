@@ -256,9 +256,15 @@ def resolve_exact(features: DataFrame, method: str = "batch") -> DataFrame:
         return f.groupBy("doc_id").applyInPandas(cascade_kernel, JOIN_RESULT_SCHEMA)
     # full ordering done JVM-side (we shuffle anyway, and Tungsten sort is
     # far cheaper than a pandas object-dtype sort per Arrow batch); the
-    # kernel trusts the (doc_id, offset, span_idx) stream order
+    # kernel trusts the (doc_id, offset, span_idx) stream order.
+    # EXPLICIT partition count (4 tasks/core): repartition("doc_id") without
+    # a count lets AQE coalesce by shuffle BYTES — but this stage's cost is
+    # Python-kernel CPU per row, not bytes, so AQE under-partitions it
+    # (measured: 9 tasks on 8 cores = a 2-wave schedule with a one-task
+    # second wave, ~40% idle; the whole N-vs-4N scaling gap lived here).
+    n_parts = 4 * f.sparkSession.sparkContext.defaultParallelism
     return (
-        f.repartition("doc_id")
+        f.repartition(n_parts, "doc_id")
         .sortWithinPartitions("doc_id", "offset", "span_idx")
         .mapInPandas(cascade_batch, JOIN_RESULT_SCHEMA)
     )
