@@ -607,6 +607,20 @@ def q_tree_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_timings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5 timestamp parse + duration math per span (lead-window gap to
+    the next span; last span open-ended = 0)."""
+    from har2tree_spark.operators import attrs  # noqa: PLC0415
+
+    return attrs.span_timings(_features(spark, sf_dir)).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "start_ts",
+        "start_epoch",
+        "duration_s",
+    )
+
+
 def q_sidecar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 sidecar scan: optional per-doc companion columns attach as
     nullable columns via a doc-keyed left join (har2tree.py:105-150
@@ -772,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sidecar_join": q_sidecar_join,
         "ref_cleanup": q_ref_cleanup,
         "header_lookup": q_header_lookup,
+        "span_timings": q_span_timings,
     }
 
 
@@ -1560,6 +1575,16 @@ def oracle_sql() -> dict[str, str]:
                   WHEN regexp_matches(p, '{b64_re}') THEN ''
                   ELSE p END AS decoded
       FROM d"""
+
+    out["span_timings"] = f"""{cte}
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+             strftime(make_timestamp((1600000000 + "offset") * 1000000),
+                      '%Y-%m-%d %H:%M:%S') AS start_ts,
+             CAST(1600000000 + "offset" AS BIGINT) AS start_epoch,
+             CAST(COALESCE(LEAD("offset") OVER (
+                    PARTITION BY doc_id ORDER BY "offset", span_idx
+                  ) - "offset", 0) AS BIGINT) AS duration_s
+      FROM live"""
 
     out["sidecar_join"] = """
       SELECT CAST(d.doc_id AS BIGINT) AS doc_id, s.side_len, s.side_tag

@@ -138,6 +138,30 @@ def identifiers_extract(features: DataFrame) -> DataFrame:
     )
 
 
+def span_timings(features: DataFrame, base_epoch: int = 1_600_000_000) -> DataFrame:
+    """F4/F5 timestamp parse + duration math (reference URLNode start/stop
+    time fields, nodes.py:172-210): each span's start = base epoch +
+    offset seconds; duration = gap to the next span in the document (the
+    last span gets 0 — the reference's open-ended final entry). Epoch is
+    emitted alongside the formatted UTC timestamp so both engines compare
+    exactly."""
+    f = _live(features).select("doc_id", "span_idx", "offset")
+    w = Window.partitionBy("doc_id").orderBy("offset", "span_idx")
+    epoch = (F.lit(base_epoch) + F.col("offset")).cast("long")
+    dur = F.coalesce(
+        F.lead("offset").over(w) - F.col("offset"), F.lit(0)
+    ).cast("long")
+    return f.select(
+        "doc_id",
+        "span_idx",
+        F.date_format(F.timestamp_seconds(epoch), "yyyy-MM-dd HH:mm:ss").alias(
+            "start_ts"
+        ),
+        epoch.alias("start_epoch"),
+        dur.alias("duration_s"),
+    )
+
+
 def key_class(features: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     """(doc_id, span_idx, ref, ref_class, decoded_ref): grammar
     classification + canonical normalization of a ref column."""

@@ -84,3 +84,44 @@ def test_windowed_event_rates(spark):
         by_type = {r.event_type: r.n for r in got}
         # append mode emits only windows closed by the watermark
         assert by_type.get("view", 0) in (0, 2)
+
+
+def test_stateful_doc_progress(spark):
+    """applyInPandasWithState: per-doc cumulative counters across
+    micro-batches converge to the batch-mode totals."""
+    from har2tree_spark.streaming import stateful
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs = gen_documents_df(spark, 60, seed=21)
+        flat = parse_documents(docs).select("doc_id", "span_idx", "offset", "nbytes")
+        flat.repartition(4).write.parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(flat.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        q = (
+            stateful.doc_progress(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("prog")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.doc_id: (r.n, r.b)
+            for r in spark.sql(
+                "SELECT doc_id, max(n_spans) AS n, max(total_bytes) AS b "
+                "FROM prog GROUP BY doc_id"
+            ).collect()
+        }
+        want = {
+            r.doc_id: (r.n, r.b)
+            for r in spark.read.parquet(f"{tmp}/in")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"), F.sum("nbytes").alias("b"))
+            .collect()
+        }
+        assert got == want
