@@ -27,10 +27,16 @@ except Exception:  # noqa: BLE001
     HAS_ICEBERG = False
 
 
-def partition_lineage(df: DataFrame, run_id: str, stage: str) -> DataFrame:
+def partition_lineage(
+    df: DataFrame, run_id: str, stage: str, snapshot_id: int | None = None
+) -> DataFrame:
     """One row per physical partition: doc/span counts keyed by
-    spark_partition_id — the per-partition metrics record."""
-    t = int(time.time() * 1000)
+    spark_partition_id — the per-partition metrics record. snapshot_id is
+    the manifest sequence number (deterministic across reruns of the same
+    run — the Iceberg snapshot-ordinal analogue); wall-clock lives only in
+    wall_ms/completed_at, never in the identity."""
+    if snapshot_id is None:
+        snapshot_id = 0
     return (
         df.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
@@ -44,7 +50,7 @@ def partition_lineage(df: DataFrame, run_id: str, stage: str) -> DataFrame:
             F.col("doc_count").cast("long"),
             F.col("span_count").cast("long"),
             F.lit(0).cast("long").alias("quarantined"),
-            F.lit(t).cast("long").alias("snapshot_id"),
+            F.lit(snapshot_id).cast("long").alias("snapshot_id"),
             F.lit(0).cast("long").alias("wall_ms"),
         )
     )
@@ -90,16 +96,20 @@ class CheckpointedRun:
         path = self.stage_path(stage)
         if not self.is_done(stage):
             t0 = time.time()
+            # snapshot ordinal = completed-stage count: deterministic for a
+            # given stage sequence (rerunning the same run after a crash
+            # reassigns identical ids), unlike a wall-clock stamp
+            snapshot_id = len(self.manifest["stages"]) + 1
             df = build()
             df.write.mode("overwrite").parquet(path)
             lin = partition_lineage(
-                self.spark.read.parquet(path), self.run_id, stage
+                self.spark.read.parquet(path), self.run_id, stage, snapshot_id
             ).withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)).cast("long"))
             lin.write.mode("append").parquet(f"{self.base}/_lineage")
             self.manifest["stages"][stage] = {
                 "path": path,
                 "completed_at": time.time(),
-                "snapshot_id": int(t0 * 1000),
+                "snapshot_id": snapshot_id,
             }
             self._save()
         return self.spark.read.parquet(path)
