@@ -321,8 +321,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path) — rows-only check (hyperplanes are
-    numpy-side, not SQL-expressible)."""
+    """LSH-bucketed ANN (scale path). The oracle replays the hyperplane
+    signatures exactly: the seeded planes are inlined into the SQL as
+    double literals (see _lsh_bucket_sql)."""
     from har2tree_spark.ann import knn  # noqa: PLC0415
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -333,9 +334,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via hyperplane LSH + exact cosine verify —
-    rows-only (hyperplanes are seeded numpy, not SQL-expressible; the
-    bucket-cap bound and pair laws are pytest-covered)."""
+    """Embedding near-dup pairs via hyperplane LSH + exact cosine verify.
+    The oracle inlines the seeded hyperplanes as double literals and
+    replays bucket-join + verify (no bucket cap: max_bucket is opt-in)."""
     from har2tree_spark.ann import knn  # noqa: PLC0415
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -386,9 +387,11 @@ def q_geo_cascade_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads -> Arrow-batched feature
-    extraction (stub codec) — rows-only (payload RNG is numpy-side).
-    The array<float> feature is projected to a fixed-precision md5 so the
-    driver canonicalizer (which sorts columns) never sees a list value."""
+    extraction (stub codec). Payloads are md5-chain-derived so the DuckDB
+    oracle replays the bytes, the byte histogram (bin width 16 == high hex
+    nibble) and the float32-normalized feature. Arrays are projected to
+    scalars (csv / fixed-precision md5) so the driver canonicalizer never
+    sees a list value."""
     from har2tree_spark.media import multimodal  # noqa: PLC0415
 
     m = multimodal.synthesize_media(spark, 256)
@@ -396,6 +399,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "media_id",
         "media_type",
+        F.concat_ws(",", F.col("hist").cast("array<string>")).alias("hist_csv"),
         F.md5(
             F.concat_ws(
                 ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
@@ -1065,8 +1069,13 @@ def oracle_sql() -> dict[str, str]:
       WHERE list_sum(list_transform(range(1, 17),
               i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5"""
 
+    # the frequency cap (max_df=1000 in ngram_jaccard_pairs) is replayed
+    # here so the oracle diverges loudly, not silently, if the engine's
+    # capped shingle space ever changes
     out["dedup_ngram"] = f"""WITH {shingle_cte},
-      ex AS (SELECT DISTINCT id, unnest(sh) AS s FROM shingled),
+      ex0 AS (SELECT DISTINCT id, unnest(sh) AS s FROM shingled),
+      freq AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 1000),
+      ex AS (SELECT ex0.id, ex0.s FROM ex0 JOIN freq USING (s)),
       sizes AS (SELECT id, COUNT(*) AS sz FROM ex GROUP BY id),
       inter AS (
         SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
@@ -1130,6 +1139,119 @@ def oracle_sql() -> dict[str, str]:
              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
                                      '\s+', ' ', 'g'))) AS fingerprint
       FROM documents"""
+
+    # ---- LSH oracles: replay the seeded hyperplane signatures in SQL ----
+    # The planes are deterministic (np.random.default_rng(SeedSequence))
+    # so they can be inlined as double literals; the bucket is then pure
+    # arithmetic DuckDB can evaluate. Sign parity between numpy's matmul
+    # and DuckDB's sequential list_dot_product holds because |v.P| for
+    # random normal data is O(1) — astronomically far from the 1e-12
+    # reassociation error band.
+    def _lsh_bucket_sql(vec: str, dim: int, bits: int, table: int) -> str:
+        from har2tree_spark.ann.knn import _planes  # noqa: PLC0415
+
+        planes = _planes(dim, bits, table)
+        terms = []
+        for b in range(bits):
+            lits = ", ".join(repr(float(x)) for x in planes[:, b])
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec}, [{lits}]) > 0"
+                f" THEN {1 << b} ELSE 0 END)"
+            )
+        return "(" + "\n               + ".join(terms) + ")"
+
+    def _bucket_cols(vec: str, dim: int = 64, bits: int = 10, tables: int = 4) -> str:
+        return ",\n               ".join(
+            f"{_lsh_bucket_sql(vec, dim, bits, t)} AS b{t}" for t in range(tables)
+        )
+
+    _bucket_eq = " OR ".join(f"a.b{t} = x.b{t}" for t in range(4))
+    out["ann_lsh"] = f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS MATERIALIZED (
+        SELECT vec_id, v,
+               {_bucket_cols("v")}
+        FROM e
+      ),
+      cand AS (
+        SELECT x.vec_id AS query_id, a.vec_id AS neighbor_id,
+               x.v AS qv, a.v AS cv
+        FROM b a JOIN (SELECT * FROM b WHERE vec_id < 20) x
+          ON ({_bucket_eq})
+        WHERE a.vec_id <> x.vec_id
+      ),
+      s AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+        FROM cand
+      )
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             CAST(rk AS BIGINT) AS rk
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rk
+            FROM s)
+      WHERE rk <= 5"""
+
+    out["emb_neardup"] = f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS MATERIALIZED (
+        SELECT vec_id, v,
+               {_bucket_cols("v")}
+        FROM e
+      ),
+      cand AS (
+        SELECT a.vec_id AS id_a, x.vec_id AS id_b, a.v AS va, x.v AS vb
+        FROM b a JOIN b x
+          ON a.vec_id < x.vec_id AND ({_bucket_eq})
+      ),
+      s AS (
+        SELECT id_a, id_b,
+               list_dot_product(va, vb)
+                 / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS c
+        FROM cand
+      )
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             ROUND(c, 6) AS cosine
+      FROM s WHERE c >= 0.3"""
+
+    # ---- media_features oracle: replay the md5-chain payload in SQL ----
+    # payload hex = md5('42:i:0') || md5('42:i:1') || ... truncated to
+    # 2*size chars; byte-histogram bin (width 16) == the byte's high hex
+    # nibble, so counts are pure string ops. float32 normalization parity:
+    # counts and sum-of-squares are < 2^24 (exact in float32), and
+    # sqrt/divide through double then cast-to-float is correctly rounded
+    # (2p+2 theorem), so CAST(... AS FLOAT) reproduces numpy bit-for-bit.
+    _hexd = "0123456789abcdef"
+    _chain = " || ".join(f"md5('42:' || i || ':{j}')" for j in range(16))
+    _cnts = ",\n               ".join(
+        f"length(hn) - length(replace(hn, '{d}', '')) AS c{b}"
+        for b, d in enumerate(_hexd)
+    )
+    _ss = " + ".join(f"c{b}*c{b}" for b in range(16))
+    _featcat = " || ',' || ".join(
+        f"printf('%.6f', CAST(CAST(c{b} AS FLOAT) / nrm AS FLOAT))"
+        for b in range(16)
+    )
+    _histcat = " || ',' || ".join(f"CAST(c{b} AS VARCHAR)" for b in range(16))
+    out["media_features"] = f"""
+      WITH ids AS (SELECT CAST(range AS INTEGER) AS i FROM range(0, 256)),
+      hx AS (
+        SELECT i, substr({_chain}, 1, 2 * (64 + i % 192)) AS h FROM ids
+      ),
+      hh AS (SELECT i, regexp_replace(h, '(.).', '\\1', 'g') AS hn FROM hx),
+      c AS (SELECT i,
+               {_cnts}
+            FROM hh),
+      nn AS (SELECT *, CAST(sqrt(CAST({_ss} AS FLOAT)) AS FLOAT) AS nrm FROM c)
+      SELECT printf('m%08d', i) AS media_id,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+             {_histcat} AS hist_csv,
+             md5({_featcat}) AS feature_md5
+      FROM nn"""
 
     out["ann_topk"] = """
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1528,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
       FROM mangled"""
 
     b64_re = "^[A-Za-z0-9+/]+={0,2}$"
+    b64_nopad_re = "^[A-Za-z0-9+/]+$"
     out["decode_dispatch"] = f"""{cte},
       pay AS (
         SELECT doc_id, span_idx,
@@ -1552,13 +1675,13 @@ def oracle_sql() -> dict[str, str]:
                   WHEN p LIKE 'data:%' THEN 'data_uri_raw'
                   WHEN regexp_matches(p, '^[0-9a-fA-F]+$') AND length(p) % 2 = 0 THEN 'hex'
                   WHEN regexp_matches(p, '{b64_re}') AND length(p) % 4 = 0 THEN 'base64'
-                  WHEN regexp_matches(p, '{b64_re}') THEN 'base64_padfix'
+                  WHEN regexp_matches(p, '{b64_nopad_re}') THEN 'base64_padfix'
                   WHEN p LIKE '{{%' OR p LIKE '[%' THEN 'json'
                   ELSE 'plain' END AS decode_kind,
              CASE WHEN p LIKE 'data:%' AND hdr LIKE '%;base64%'
                     THEN regexp_matches(body, '{b64_re}') AND length(body) % 4 = 0
                   WHEN NOT (regexp_matches(p, '^[0-9a-fA-F]+$') AND length(p) % 2 = 0)
-                       AND regexp_matches(p, '{b64_re}') AND length(p) % 4 <> 0
+                       AND regexp_matches(p, '{b64_nopad_re}') AND length(p) % 4 <> 0
                     THEN length(p) % 4 <> 1
                   ELSE TRUE END AS decode_ok,
              CASE WHEN p = '' THEN ''
@@ -1570,9 +1693,9 @@ def oracle_sql() -> dict[str, str]:
                     THEN decode(from_hex(p))
                   WHEN regexp_matches(p, '{b64_re}') AND length(p) % 4 = 0
                     THEN decode(from_base64(p))
-                  WHEN regexp_matches(p, '{b64_re}') AND length(p) % 4 <> 1
+                  WHEN regexp_matches(p, '{b64_nopad_re}') AND length(p) % 4 <> 1
                     THEN decode(from_base64(p || repeat('=', (4 - length(p) % 4) % 4)))
-                  WHEN regexp_matches(p, '{b64_re}') THEN ''
+                  WHEN regexp_matches(p, '{b64_nopad_re}') THEN ''
                   ELSE p END AS decoded
       FROM d"""
 

@@ -149,12 +149,17 @@ def embedding_neardup_pairs(
     tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int = 256,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine >= tau) via LSH buckets + exact verify.
-    Buckets larger than ``max_bucket`` are dropped before the pair self-join
-    (skew guard: a degenerate bucket of identical embeddings would emit
-    O(bucket^2) pairs; same contract as minhash_lsh_pairs)."""
+
+    ``max_bucket`` is an OPT-IN skew guard for the 100 TB path: buckets
+    larger than it are dropped before the pair self-join (a degenerate
+    bucket of identical embeddings would emit O(bucket^2) pairs). It is off
+    by default because dropping a bucket silently loses recall — a corpus of
+    exact-duplicate embeddings would report zero pairs for those groups.
+    Callers that enable it own the recall trade-off (mirror the cap in any
+    oracle, as minhash_lsh_pairs' does)."""
     pairs = None
     for t in range(tables):
         sig = hyperplane_signature(dim, bits, t)
@@ -162,8 +167,11 @@ def embedding_neardup_pairs(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
             sig(F.col(vec_col)).alias("bucket"),
         )
-        sizes = s.groupBy("bucket").agg(F.count("*").alias("bn"))
-        s = s.join(sizes.filter(F.col("bn") <= max_bucket).select("bucket"), "bucket")
+        if max_bucket is not None:
+            sizes = s.groupBy("bucket").agg(F.count("*").alias("bn"))
+            s = s.join(
+                sizes.filter(F.col("bn") <= max_bucket).select("bucket"), "bucket"
+            )
         a = s.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
         b = s.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
         j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))

@@ -36,6 +36,19 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def payload_bytes(i: int, seed: int = 42) -> bytes:
+    """Payload for media row ``i``: the first ``64 + i % 192`` bytes of the
+    md5 chain md5(f"{seed}:{i}:0") || md5(f"{seed}:{i}:1") || ... — chosen
+    over an RNG stream precisely so a SQL oracle can replay it
+    (DuckDB: md5('42:5:0') || md5('42:5:1') ... -> from_hex)."""
+    size = 64 + i % 192
+    blocks = (size + 15) // 16
+    raw = b"".join(
+        hashlib.md5(f"{seed}:{i}:{j}".encode()).digest() for j in range(blocks)
+    )
+    return raw[:size]
+
+
 def synthesize_media(spark, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
     """Deterministic fake media table (binary payload derived from the id)
     for exercising the plumbing at any scale — distributed generation."""
@@ -45,9 +58,8 @@ def synthesize_media(spark, n: int, seed: int = 42, partitions: int | None = Non
         for pdf in batches:
             rows = []
             for i in pdf["id"].tolist():
-                rng = np.random.default_rng(np.random.SeedSequence([seed, int(i)]))
                 mtype = ["image", "audio", "video"][int(i) % 3]
-                payload = rng.integers(0, 256, size=64 + int(i) % 192, dtype=np.uint8).tobytes()
+                payload = payload_bytes(int(i), seed)
                 rows.append(
                     {
                         "media_id": f"m{int(i):08d}",
@@ -81,6 +93,7 @@ def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
         [
             T.StructField("media_id", T.StringType(), False),
             T.StructField("media_type", T.StringType(), True),
+            T.StructField("hist", T.ArrayType(T.IntegerType()), True),
             T.StructField("feature", T.ArrayType(T.FloatType()), True),
         ]
     )
@@ -88,18 +101,24 @@ def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
     def fx(batches):
         for pdf in batches:
             feats = []
+            hists = []
             for payload in pdf["payload"]:
                 if not stub:
                     decode_image(bytes(payload))  # raises: codec not in container
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # bin width 256/FEATURE_DIM=16 == the high hex nibble of
+                # each byte, which is what lets a SQL oracle replay the
+                # histogram from the payload's hex representation
                 hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
                 v = hist.astype(np.float32)
                 n = float(np.linalg.norm(v))
+                hists.append(hist.astype(np.int32).tolist())
                 feats.append((v / n if n else v).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
+                    "hist": hists,
                     "feature": feats,
                 }
             )

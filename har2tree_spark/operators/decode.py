@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 B64_RE = "^[A-Za-z0-9+/]+={0,2}$"
+B64_NOPAD_RE = "^[A-Za-z0-9+/]+$"
 HEX_RE = "^[0-9a-fA-F]+$"
 
 
@@ -45,6 +46,11 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     duri_hdr = F.split_part(p, F.lit(","), F.lit(1))
     duri_body = F.split_part(p, F.lit(","), F.lit(2))
     b64ish = p.rlike(B64_RE)
+    # the blind-retry (re-pad) arm only fires on inputs with NO existing
+    # padding: repadding a partially padded string like 'QQQQQ=' would
+    # build invalid base64 ('QQQQQ===') and break the never-throws
+    # invariant — such inputs fall through to the plain arm instead
+    b64_nopad = p.rlike(B64_NOPAD_RE)
     padded_ok = F.length(p) % 4 == 0
     pad_fixable = F.length(p) % 4 != 1
     repadded = F.concat(p, F.repeat(F.lit("="), (4 - F.length(p) % 4) % 4))
@@ -60,7 +66,7 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(is_data, "data_uri_raw")
         .when(hexish, "hex")
         .when(b64ish & padded_ok, "base64")
-        .when(b64ish, "base64_padfix")
+        .when(b64_nopad, "base64_padfix")
         .when(jsonish, "json")
         .otherwise("plain")
     )
@@ -74,8 +80,8 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(is_data, duri_body)
         .when(hexish, F.unhex(p).cast("string"))
         .when(b64ish & padded_ok, _unb64(p))
-        .when(b64ish & pad_fixable, _unb64(repadded))
-        .when(b64ish, "")  # length % 4 == 1: no padding can fix it
+        .when(b64_nopad & pad_fixable, _unb64(repadded))
+        .when(b64_nopad, "")  # length % 4 == 1: no padding can fix it
         .otherwise(p)
     )
     ok = (
@@ -83,7 +89,7 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             is_data & duri_hdr.contains(";base64"),
             duri_body.rlike(B64_RE) & (F.length(duri_body) % 4 == 0),
         )
-        .when(~is_data & ~hexish & b64ish & ~padded_ok, pad_fixable)
+        .when(~is_data & ~hexish & b64_nopad & ~padded_ok, pad_fixable)
         .otherwise(F.lit(True))
     )
     return df.withColumn("decode_kind", kind).withColumn("decode_ok", ok).withColumn(

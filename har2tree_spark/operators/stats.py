@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from har2tree_spark.geo import grid
 
 
-def compute_depths(join_result: DataFrame, max_doubling: int | None = None) -> DataFrame:
+def compute_depths(
+    join_result: DataFrame,
+    max_doubling: int | None = None,
+    depth_complete: bool | None = None,
+) -> DataFrame:
     """(doc_id, span_idx, depth) from parent pointers.
 
     Exact-mode join results carry ``depth`` already (the DFS computes it for
@@ -25,12 +29,20 @@ def compute_depths(join_result: DataFrame, max_doubling: int | None = None) -> D
     2^k resolves in k shuffles. The iteration count is bounded ONCE from the
     largest per-doc row count (one cheap agg) instead of a convergence
     action per pass — per-pass driver actions were the scaling bottleneck
-    (fixed latency independent of cores)."""
-    if "depth" in join_result.columns:
-        # depth is homogeneous by construction: exact mode fills every row,
-        # rank mode nulls every row — so ONE peeked row decides the path
-        # (the previous isNull() existence filter scanned the whole frame
-        # in exact mode just to find nothing)
+    (fixed latency independent of cores).
+
+    ``depth_complete`` is the path switch for frames that carry a ``depth``
+    column: True = trust it (zero jobs), False = ignore it and re-derive by
+    doubling. The default (None) probes ONE row and passes through iff it is
+    non-null — correct only under the homogeneity PRECONDITION that
+    ``depth`` is all-filled or all-null, which holds for every frame this
+    package produces (exact mode fills every row, rank mode none). For a
+    mixed frame (e.g. a caller's union of exact- and rank-mode results) the
+    one-row probe is nondeterministic: pass ``depth_complete=False`` there,
+    or the rank rows may silently keep their null depths."""
+    if "depth" in join_result.columns and depth_complete is not False:
+        if depth_complete is True:
+            return join_result.select("doc_id", "span_idx", "depth")
         probe = join_result.select("depth").limit(1).collect()
         if probe and probe[0][0] is not None:
             return join_result.select("doc_id", "span_idx", "depth")

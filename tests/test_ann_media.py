@@ -55,6 +55,21 @@ def test_embedding_neardup(spark):
     assert {(0, 1)} == set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
 
 
+def test_embedding_neardup_exact_duplicates_kept_by_default(spark):
+    # the degenerate all-identical corpus: with the (opt-in) bucket cap
+    # disabled by default, every pair must be reported, not silently dropped
+    n = 12
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = knn.embedding_neardup_pairs(df, dim=4, tau=0.99, bits=4, tables=2)
+    assert got.count() == n * (n - 1) // 2
+    # opting into a cap smaller than the bucket drops the group entirely
+    capped = knn.embedding_neardup_pairs(
+        df, dim=4, tau=0.99, bits=4, tables=2, max_bucket=4
+    )
+    assert capped.count() == 0
+
+
 def test_ann_on_driver_embeddings(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     qs = df.limit(3)

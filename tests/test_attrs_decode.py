@@ -101,6 +101,20 @@ def test_decode_unfixable_padding(spark):
     assert r.decode_kind == "base64_padfix" and not r.decode_ok and r.decoded == ""
 
 
+def test_decode_partial_padding_not_repadded(spark):
+    # 'QQQQQ=' (5 data chars + existing '='): repadding would build the
+    # invalid 'QQQQQ===' — the padfix arm must not fire; falls to plain
+    df = spark.createDataFrame(
+        [("d", 0, "QQQQQ="), ("d", 1, "QQ=Q")],
+        "doc_id string, span_idx int, payload string",
+    )
+    got = {r.span_idx: r for r in decode.decode_dispatch(df).collect()}
+    assert got[0].decode_kind == "plain" and got[0].decode_ok
+    assert got[0].decoded == "QQQQQ="
+    # interior '=' fails the base64 grammar entirely -> plain as before
+    assert got[1].decode_kind == "plain" and got[1].decoded == "QQ=Q"
+
+
 def test_sidecar_never_fans_out(spark):
     docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
     side = spark.createDataFrame(

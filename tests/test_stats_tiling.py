@@ -55,6 +55,25 @@ def test_depths_match_oracle_chain(spark):
     assert list(d.depth) == [0, 1, 2, 3]
 
 
+def test_depths_mixed_frame_recomputed(spark):
+    # a caller-made union of exact rows (depth filled) and rank rows
+    # (depth null) violates compute_depths' homogeneity precondition;
+    # depth_complete=False must re-derive every depth from the pointers
+    import pyspark.sql.functions as F
+
+    docs = [scenario_docs()[0]]
+    df = spark.createDataFrame(docs, DOCUMENTS_SCHEMA)
+    jr = resolve_exact(parse_documents(df))
+    mixed = jr.withColumn(
+        "depth",
+        F.when(F.col("span_idx") % 2 == 0, F.col("depth")).otherwise(F.lit(None)),
+    )
+    d = stats.compute_depths(mixed, depth_complete=False).toPandas().sort_values(
+        "span_idx"
+    )
+    assert list(d.depth) == [0, 1, 2, 3]
+
+
 def test_tile_assignment_levels(spark):
     docs = gen_docs(3, 40)
     df = spark.createDataFrame(docs, DOCUMENTS_SCHEMA)
