@@ -40,7 +40,9 @@ def live_features(features: DataFrame) -> DataFrame:
     return features.filter(F.col("span_idx").isNotNull() & (F.col("n_live") > 0))
 
 
-def candidate_edges(features: DataFrame, materialize: bool = False) -> DataFrame:
+def candidate_edges(
+    features: DataFrame, materialize: bool = False, dedup: bool = True
+) -> DataFrame:
     """Union of candidate (child, parent, stage) edges for the five cascade
     stages — each an equi-join on (doc_id, key). Returns columns:
     doc_id, child_idx, parent_idx, join_kind, priority, p_offset, root_idx.
@@ -149,8 +151,15 @@ def candidate_edges(features: DataFrame, materialize: bool = False) -> DataFrame
         .unionByName(initiator.select(*cols))
         .unionByName(referer.select(*cols))
         .unionByName(resource.select(*cols))
-        .dropDuplicates(["doc_id", "child_idx", "parent_idx", "join_kind"])
     )
+    if dedup:
+        # token fan-out (frame/resource) can emit the same edge once per
+        # matching token; callers that consume raw edges want set semantics.
+        # resolve_rank skips this shuffle: duplicate edges are bit-identical
+        # in every ranked column, so a row_number()==1 winner is invariant.
+        edges = edges.dropDuplicates(
+            ["doc_id", "child_idx", "parent_idx", "join_kind"]
+        )
     prio = F.col("join_kind")
     prio_expr = (
         F.when(prio == "redirect", PRIORITY["redirect"])
@@ -188,12 +197,29 @@ def resolve_rank(
         ).localCheckpoint()
     f = live_features(features).select("doc_id", "span_idx", "root_idx")
     if edges is None:
-        edges = candidate_edges(features, materialize=False)
+        edges = candidate_edges(features, materialize=False, dedup=False)
+    # spans with no candidate edge fall to the doc root: modeled as a
+    # synthetic lowest-priority edge per non-root span rather than a
+    # left-anti join against the winners — the anti-join variant makes the
+    # whole 5-join cascade subtree a 2x common subexpression (Spark does
+    # not dedup it: the full edge plan executed once under the window and
+    # once under the anti-join), and adds a shuffle of its own. One union +
+    # one window does it in a single pass.
+    fallback = f.filter(F.col("span_idx") != F.col("root_idx")).select(
+        "doc_id",
+        F.col("span_idx").alias("child_idx"),
+        F.col("root_idx").alias("parent_idx"),
+        F.lit("fallback_root").alias("join_kind"),
+        F.lit(_BIG).alias("p_offset"),
+        "root_idx",
+        F.lit(PRIORITY["fallback_root"]).cast("int").alias("priority"),
+    )
     w = Window.partitionBy("doc_id", "child_idx").orderBy(
         "priority", "p_offset", "parent_idx"
     )
     won = (
         edges.filter(F.col("child_idx") != F.col("root_idx"))
+        .unionByName(fallback)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(
@@ -211,28 +237,7 @@ def resolve_rank(
         F.lit("root").alias("join_kind"),
         F.lit(PRIORITY["root"]).alias("priority"),
     )
-    # spans with no candidate edge -> root fallback (rank mode collapses the
-    # spatial fallback cascade unless fallback ops are chained afterwards)
-    unmatched = (
-        f.filter(F.col("span_idx") != F.col("root_idx"))
-        .join(
-            won.select("doc_id", "span_idx"),
-            ["doc_id", "span_idx"],
-            "left_anti",
-        )
-        .select(
-            "doc_id",
-            "span_idx",
-            F.col("root_idx").alias("parent_idx"),
-            F.lit("fallback_root").alias("join_kind"),
-            F.lit(PRIORITY["fallback_root"]).alias("priority"),
-        )
-    )
-    out = (
-        roots.unionByName(won)
-        .unionByName(unmatched)
-        .withColumn("depth", F.lit(None).cast("int"))
-    )
+    out = roots.unionByName(won).withColumn("depth", F.lit(None).cast("int"))
     return out.select([c.name for c in JOIN_RESULT_SCHEMA.fields])
 
 
