@@ -95,6 +95,26 @@ def hyperplane_signature(dim: int, bits: int = 12, table: int = 0, seed: int = 4
     return sig
 
 
+def hyperplane_signatures(dim: int, bits: int, tables: int, seed: int = 42):
+    """Pandas UDF: embedding -> array of per-table LSH buckets. All
+    ``tables`` signatures in ONE matmul over the horizontally stacked
+    planes — one corpus scan and one Python stage instead of one per
+    table. Bucket values are identical to hyperplane_signature's (same
+    planes, column-independent dot products)."""
+    planes = np.concatenate(
+        [_planes(dim, bits, t, seed) for t in range(tables)], axis=1
+    )
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())
+        b = (m @ planes > 0).astype(np.int64).reshape(len(m), tables, bits) @ weights
+        return pd.Series(list(b))
+
+    return sig
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -106,26 +126,27 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: same-bucket candidates across ``tables``
-    hyperplane tables, exact cosine re-rank. One shuffle per table join
-    (unioned before the rank)."""
+    hyperplane tables, exact cosine re-rank. All table signatures come
+    from one Arrow-batched matmul per side (one corpus scan, one Python
+    stage), posexploded to (table, bucket) and matched with a single
+    broadcast equi-join on the pair — same candidate set as the
+    per-table union, one join instead of ``tables``."""
     from pyspark.sql import Window  # noqa: PLC0415
 
-    cands = None
-    for t in range(tables):
-        sig = hyperplane_signature(dim, bits, t)
-        cq = queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"),
-            sig(F.col(vec_col)).alias("bucket"),
-        )
-        cc = corpus.select(
-            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"),
-            sig(F.col(vec_col)).alias("bucket"),
-        )
-        j = cc.join(F.broadcast(cq), "bucket").filter(
-            F.col("query_id") != F.col("neighbor_id")
-        )
-        cands = j if cands is None else cands.unionByName(j)
-    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    sig = hyperplane_signatures(dim, bits, tables)
+    cq = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"),
+        F.posexplode(sig(F.col(vec_col))).alias("t", "bucket"),
+    )
+    cc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"),
+        F.posexplode(sig(F.col(vec_col))).alias("t", "bucket"),
+    )
+    cands = (
+        cc.join(F.broadcast(cq), ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     score = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -160,23 +181,24 @@ def embedding_neardup_pairs(
     exact-duplicate embeddings would report zero pairs for those groups.
     Callers that enable it own the recall trade-off (mirror the cap in any
     oracle, as minhash_lsh_pairs' does)."""
-    pairs = None
-    for t in range(tables):
-        sig = hyperplane_signature(dim, bits, t)
-        s = df.select(
-            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
-            sig(F.col(vec_col)).alias("bucket"),
+    sig = hyperplane_signatures(dim, bits, tables)
+    s = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
+        F.posexplode(sig(F.col(vec_col))).alias("t", "bucket"),
+    )
+    if max_bucket is not None:
+        sizes = s.groupBy("t", "bucket").agg(F.count("*").alias("bn"))
+        s = s.join(
+            sizes.filter(F.col("bn") <= max_bucket).select("t", "bucket"),
+            ["t", "bucket"],
         )
-        if max_bucket is not None:
-            sizes = s.groupBy("bucket").agg(F.count("*").alias("bn"))
-            s = s.join(
-                sizes.filter(F.col("bn") <= max_bucket).select("bucket"), "bucket"
-            )
-        a = s.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = s.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-        pairs = j if pairs is None else pairs.unionByName(j)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    a = s.select("t", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = s.select("t", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     score = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
         pairs.withColumn("cosine", score)

@@ -33,11 +33,16 @@ EMPTY_VALUE_CUTOFF = 8.0
 
 def flat_spans_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat span rows (doc_id, span_idx, kind, text, media_ref, offset)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "doc_id", F.concat(F.lit("d"), F.col("user_id").cast("string"))
+    )
+    # window over doc_id (bijective with user_id, identical groups): the
+    # downstream nest groupBy("doc_id") then reuses this exchange's
+    # hashpartitioning instead of reshuffling the whole events table
+    w = Window.partitionBy("doc_id").orderBy("ts", "event_id")
     key = F.concat(F.lit("k"), (1 + F.pmod(F.col("event_id"), F.lit(KEY_MOD))))
     base = ev.select(
-        F.concat(F.lit("d"), F.col("user_id").cast("string")).alias("doc_id"),
+        "doc_id",
         (F.row_number().over(w) - 1).alias("span_idx"),
         F.col("event_type"),
         F.col("value"),
