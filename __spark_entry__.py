@@ -408,6 +408,32 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (JVM sequence explode over typed
+    metadata). Oracle replays duration arithmetic + generate_series and
+    the md5-chain payload's sha256."""
+    from har2tree_spark.media import multimodal  # noqa: PLC0415
+
+    m = multimodal.synthesize_media(spark, 256)
+    return multimodal.sample_frames(m).select(
+        "media_id", "doc_id", F.col("frame_ms").cast("long").alias("frame_ms"),
+        "source_sha256",
+    )
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blob dedup by payload digest (hash early, ship hashes). The
+    corpus is doubled under distinct media_ids so every group is a real
+    duplicate group, not a singleton."""
+    from har2tree_spark.media import multimodal  # noqa: PLC0415
+
+    m = multimodal.synthesize_media(spark, 256)
+    m2 = m.withColumn("media_id", F.concat(F.lit("x"), F.col("media_id")))
+    return multimodal.media_dedup(m.unionByName(m2)).select(
+        "payload_sha256", F.col("n_blobs").cast("long").alias("n_blobs"), "keeper"
+    )
+
+
 def q_forest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document forest join edges (J14 CrawledTree analogue):
     child root ref -> parent landing key, smallest parent wins."""
@@ -773,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_zonal": q_geo_zonal,
         "geo_cascade_fallback": q_geo_cascade_fallback,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "media_dedup": q_media_dedup,
         "forest_edges": q_forest_edges,
         "forest_roots": q_forest_roots,
         "resolve_refs": q_resolve_refs,
@@ -1252,6 +1280,30 @@ def oracle_sql() -> dict[str, str]:
              {_histcat} AS hist_csv,
              md5({_featcat}) AS feature_md5
       FROM nn"""
+
+    out["media_frames"] = f"""
+      WITH ids AS (SELECT CAST(range AS INTEGER) AS i FROM range(0, 256)),
+      v AS (
+        SELECT i, 1000 * (i % 30) AS dur,
+               substr({_chain}, 1, 2 * (64 + i % 192)) AS h
+        FROM ids WHERE i % 3 = 2
+      )
+      SELECT printf('m%08d', i) AS media_id,
+             'doc-' || printf('%08d', i % 64) AS doc_id,
+             CAST(unnest(generate_series(0, greatest(dur - 1, 0), 5000)) AS BIGINT)
+               AS frame_ms,
+             sha256(h) AS source_sha256
+      FROM v"""
+
+    # every md5-chain payload is distinct, so the doubled corpus groups
+    # exactly into {{m<i>, xm<i>}} pairs: n_blobs=2, keeper='m%08d'
+    out["media_dedup"] = f"""
+      WITH ids AS (SELECT CAST(range AS INTEGER) AS i FROM range(0, 256))
+      SELECT sha256(substr({_chain}, 1, 2 * (64 + i % 192)))
+               AS payload_sha256,
+             CAST(2 AS BIGINT) AS n_blobs,
+             printf('m%08d', i) AS keeper
+      FROM ids"""
 
     out["ann_topk"] = """
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -69,7 +69,13 @@ def synthesize_media(spark, n: int, seed: int = 42, partitions: int | None = Non
                         "width": 64 if mtype == "image" else None,
                         "height": 64 if mtype == "image" else None,
                         "duration_ms": 1000 * (int(i) % 30) if mtype != "image" else None,
-                        "payload_sha256": hashlib.sha256(payload).hexdigest(),
+                        # digest over the lowercase-hex encoding (bijective
+                        # with the bytes): SQL engines' sha256 is
+                        # VARCHAR-only, so this keeps the content digest
+                        # replayable by the DuckDB oracle
+                        "payload_sha256": hashlib.sha256(
+                            payload.hex().encode()
+                        ).hexdigest(),
                     }
                 )
             yield pd.DataFrame(rows)
