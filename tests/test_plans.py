@@ -124,6 +124,51 @@ def test_marker_rollup_single_shuffle(spark, tmp_path):
     assert _n_exchanges(_plan(roll)) <= 2
 
 
+def test_rank_cascade_plan_shape(spark, tmp_path):
+    import re
+
+    from har2tree_spark.operators.cascade import resolve_rank
+
+    p = str(tmp_path / "docs9")
+    gen_documents_df(spark, 50, seed=3).write.parquet(p)
+    feats = parse_documents(spark.read.parquet(p))
+    plan = _plan(resolve_rank(feats))
+    # formatted plans list each node in the tree AND as a "(n) <Node>"
+    # detail block — count the detail headers only
+    joins = len(
+        re.findall(
+            r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
+        )
+    )
+    # exactly the 5 candidate-stage joins: the root-fallback must be a
+    # union edge resolved in the winners' window, NOT an anti-join that
+    # duplicates the whole candidate subtree as a common subexpression
+    assert joins == 5, f"rank cascade must plan exactly 5 joins, got {joins}"
+    assert "LeftAnti" not in plan
+    # one exchange for the winners' window + at most one materialization
+    # exchange; the edge-dedup shuffle must stay gone
+    assert _n_exchanges(plan) <= 2, plan
+
+
+def test_lsh_fused_signatures_match_per_table(spark):
+    import numpy as np
+
+    from har2tree_spark.ann import knn
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fused = df.select(
+        "vec_id", knn.hyperplane_signatures(16, 8, 3)("embedding").alias("sigs")
+    ).toPandas()
+    for t in range(3):
+        single = df.select(
+            "vec_id", knn.hyperplane_signature(16, 8, t)("embedding").alias("b")
+        ).toPandas()
+        merged = fused.merge(single, on="vec_id")
+        assert all(s[t] == b for s, b in zip(merged.sigs, merged.b)), f"table {t}"
+
+
 def test_tree_json_single_shuffle(spark, tmp_path):
     from har2tree_spark.operators import export
     from har2tree_spark.operators.cascade import resolve_rank
