@@ -1063,9 +1063,21 @@ def oracle_sql() -> dict[str, str]:
         FROM words
       )"""
 
+    # replay the universal-hash minhash family: one md5 per shingle
+    # (48-bit base from the first 12 hex chars), then min((a*h+b) mod 2^48)
+    # per seed with the engine's exact (a, b) literals
+    from har2tree_spark.text.dedup import MINHASH_MOD, _mh_params  # noqa: PLC0415
+
+    shingle_cte += r""",
+      hashed AS (
+        SELECT id, list_transform(sh,
+                 s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)) AS hv
+        FROM shingled
+      )"""
     sig_exprs = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5(s || ':{i}')), 'min')"
-        for i in range(16)
+        f"list_aggregate(list_transform(hv, v -> (v * {a} + {b}) % {MINHASH_MOD}),"
+        f" 'min')"
+        for a, b in _mh_params(16)
     )
     band_exprs = ", ".join(
         "md5(sig[{a}] || '|' || sig[{b}] || '|' || sig[{c}] || '|' || sig[{d}])".format(
@@ -1074,7 +1086,7 @@ def oracle_sql() -> dict[str, str]:
         for b in range(4)
     )
     out["dedup_minhash"] = f"""WITH {shingle_cte},
-      sigs AS (SELECT id, [{sig_exprs}] AS sig FROM shingled),
+      sigs AS (SELECT id, [{sig_exprs}] AS sig FROM hashed),
       banded AS (
         SELECT id, sig, b.band, bhs[b.band + 1] AS bh
         FROM (SELECT id, sig, [{band_exprs}] AS bhs FROM sigs),

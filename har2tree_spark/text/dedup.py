@@ -50,18 +50,49 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
                   )).otherwise(F.array(F.concat_ws(" ", words)))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """array<string> signature: per seed i, min md5(shingle || ':' || i).
-    NOTE: the per-seed lambda must stay single-argument — F.transform
-    interprets a two-argument lambda as (element, index), which would
-    shadow the seed."""
+MINHASH_MOD = 1 << 48
 
-    def seed_min(i: int) -> Column:
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f":{i}"))))
-        )
 
-    return F.array(*[seed_min(i) for i in range(num_hashes)])
+def _mh_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Universal-hash constants: odd ~2^12 multipliers (products stay
+    < 2^61, BIGINT-exact in Spark AND DuckDB) + golden-ratio-spread
+    offsets."""
+    return [
+        (4097 + 2 * i, (i * 0x9E3779B1) % MINHASH_MOD) for i in range(num_hashes)
+    ]
+
+
+def minhash_base(shingles: Column) -> Column:
+    """48-bit base hash per shingle: first 12 hex chars of md5 as an
+    integer. ONE md5 per shingle; the per-seed family is pure arithmetic
+    on this (16x less md5 work than hashing per seed, same LSH family).
+    48 bits also survives an Arrow float64 round trip (< 2^53)."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+
+
+def minhash_signature(base: Column, num_hashes: int = 16) -> Column:
+    """array<long> signature over ``minhash_base`` values: per seed i,
+    min((a_i*h + b_i) mod 2^48). SQL-replayable: the driver oracle inlines
+    the same (a_i, b_i) literals.
+
+    NOTE (plan shape): project the base-hash array in its OWN select
+    before calling this — it is referenced once per seed, and
+    CollapseProject only preserves named intermediate projections. Also
+    the per-element lambdas must stay single-argument (a two-argument
+    lambda binds (element, index)), hence the closure helper."""
+
+    def uh(a: int, b: int):
+        return lambda v: (v * a + b) % MINHASH_MOD
+
+    return F.array(
+        *[
+            F.array_min(F.transform(base, uh(a, b)))
+            for a, b in _mh_params(num_hashes)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -93,13 +124,22 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("id"),
             word_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
-        .select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+        .select("id", minhash_base(F.col("sh")).alias("hv"))
+        .select("id", minhash_signature(F.col("hv"), num_hashes).alias("sig"))
         .localCheckpoint()
     )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])).alias("bh"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bh"),
         )
         for b in range(bands)
     ]
