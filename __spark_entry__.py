@@ -651,6 +651,41 @@ def q_span_timings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tree_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 nested-JSON export, ORACLED variant: the rank join result is
+    canonically acyclicized first (an edge survives only if parent_idx <
+    span_idx; otherwise the span re-parents to the doc root as
+    fallback_root — every chain then strictly descends or terminates at
+    the root, so the forest is provably cycle-free), which makes the d3
+    tree string SQL-expressible: the oracle rebuilds it with a recursive
+    path CTE + DFS-ordered string_agg with bracket-close counts. The
+    general cyclic-capable exporter stays gated by q_tree_json
+    (rows-only) + the pytest goldens."""
+    from har2tree_spark.operators import export  # noqa: PLC0415
+
+    feats = _features(spark, sf_dir)
+    jr = cascade.resolve_rank(feats)
+    lf = cascade.live_features(feats).select("doc_id", "span_idx", "root_idx")
+    jr2 = jr.join(lf, ["doc_id", "span_idx"])
+    keep = (F.col("parent_idx") == -1) | (F.col("parent_idx") < F.col("span_idx"))
+    acyc = jr2.select(
+        "doc_id",
+        "span_idx",
+        F.when(keep, F.col("parent_idx")).otherwise(F.col("root_idx")).alias(
+            "parent_idx"
+        ),
+        F.when(keep, F.col("join_kind")).otherwise(F.lit("fallback_root")).alias(
+            "join_kind"
+        ),
+    )
+    t = export.tree_json(acyc, feats)
+    return t.select(
+        "doc_id",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.md5("tree").alias("tree_md5"),
+    )
+
+
 def q_sidecar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 sidecar scan: optional per-doc companion columns attach as
     nullable columns via a doc-keyed left join (har2tree.py:105-150
@@ -815,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_class": q_key_class,
         "decode_dispatch": q_decode_dispatch,
         "tree_json": q_tree_json,
+        "tree_export": q_tree_export,
         "sidecar_join": q_sidecar_join,
         "ref_cleanup": q_ref_cleanup,
         "header_lookup": q_header_lookup,
@@ -925,6 +961,54 @@ def oracle_sql() -> dict[str, str]:
              CAST(key_num AS BIGINT) AS key_num,
              {fine} AS cell, {coarse} AS coarse_cell, valid
       FROM live"""
+
+    # S5 export replay: acyclicized rank forest -> recursive path CTE ->
+    # DFS-ordered (path sort) string_agg; each node contributes
+    # [comma if a later sibling] + its open-brace text + (depth -
+    # next_depth + 1) ']}' closers. Byte-identical to the engine's
+    # explicit-stack emitter on acyclic input.
+    out["tree_export"] = (f"""{cte}, {_CASCADE_EDGES_SQL.strip()},
+      acyc AS (
+        SELECT rr.doc_id, rr.span_idx,
+               CASE WHEN rr.parent_idx = -1 OR rr.parent_idx < rr.span_idx
+                    THEN rr.parent_idx ELSE r.root_idx END AS parent_idx,
+               CASE WHEN rr.parent_idx = -1 OR rr.parent_idx < rr.span_idx
+                    THEN rr.join_kind ELSE 'fallback_root' END AS join_kind,
+               l.kind
+        FROM rank_result rr
+        JOIN roots r ON r.doc_id = rr.doc_id
+        JOIN live l ON l.doc_id = rr.doc_id AND l.span_idx = rr.span_idx
+      ),
+      rec AS (
+        SELECT doc_id, span_idx, [span_idx] AS path
+        FROM acyc WHERE parent_idx = -1
+        UNION ALL
+        SELECT a.doc_id, a.span_idx, list_append(r.path, a.span_idx)
+        FROM acyc a JOIN rec r
+          ON r.doc_id = a.doc_id AND r.span_idx = a.parent_idx
+      ),
+      ord AS (
+        SELECT r.doc_id, r.span_idx, r.path, len(r.path) - 1 AS depth,
+               a.kind, a.join_kind,
+               ROW_NUMBER() OVER (PARTITION BY r.doc_id, a.parent_idx
+                                  ORDER BY r.span_idx) AS sib_rn
+        FROM rec r JOIN acyc a
+          ON a.doc_id = r.doc_id AND a.span_idx = r.span_idx
+      ),
+      ser AS (
+        SELECT doc_id, path, depth, sib_rn,
+               LEAD(depth, 1, 0) OVER (PARTITION BY doc_id ORDER BY path)
+                 AS next_depth,
+               '{{"span_idx":' || span_idx || ',"kind":"' || kind
+                 || '","join_kind":"' || join_kind || '","children":[' AS opn
+        FROM ord
+      )
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             md5(string_agg(
+               (CASE WHEN sib_rn > 1 THEN ',' ELSE '' END) || opn
+                 || repeat(']}}', depth - next_depth + 1),
+               '' ORDER BY path)) AS tree_md5
+      FROM ser GROUP BY doc_id""").replace("WITH ", "WITH RECURSIVE ", 1)
 
     out["geo_cascade_rank"] = f"""{cte}, {_CASCADE_EDGES_SQL.strip()}
       SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
