@@ -651,6 +651,72 @@ def q_span_timings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_markup_body(live: DataFrame) -> DataFrame:
+    """Markup bodies derived in-query from span text (4 arms by span_idx),
+    mirrored exactly by the soup oracles: resource+JS-redirect markup,
+    meta refresh to the span's own key, plain markup, unresolvable
+    redirect."""
+    t1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    t2 = F.split_part(F.col("text"), F.lit(" "), F.lit(2))
+    m = F.col("span_idx") % 4
+    body = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<div><img src="'), t2,
+                F.lit("\"><script>location.href='"), t2,
+                F.lit("'</script></div>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="5;url='), t1,
+                F.lit('">'),
+            ),
+        )
+        .when(m == 2, F.lit("<span>no markup refs</span>"))
+        .otherwise(F.lit("<script>location.replace('kZZZ')</script>"))
+    )
+    return live.withColumn("body", body)
+
+
+def q_soup_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17/F18/F26 markup parse: tag sequence, domhash (first 32 hex of
+    sha256 over '|'-joined lowercased tags), src/href resource surface —
+    all regexp_extract_all, JVM-side."""
+    from har2tree_spark.operators import soup  # noqa: PLC0415
+
+    live = _live(spark, sf_dir).select("doc_id", "span_idx", "text")
+    out = soup.soup_features(_with_markup_body(live))
+    return out.select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "domhash",
+        F.col("n_tags").cast("long").alias("n_tags"),
+        F.col("n_res").cast("long").alias("n_res"),
+        F.concat_ws(",", "res_refs").alias("res_csv"),
+    )
+
+
+def q_js_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19/F20: JS-redirect + meta-refresh regex over the body, target
+    resolved against the doc's key universe (semi-join); unresolved
+    targets flagged redirect_to_nothing."""
+    from har2tree_spark.operators import soup  # noqa: PLC0415
+
+    live = _live(spark, sf_dir)
+    bodies = _with_markup_body(live.select("doc_id", "span_idx", "text"))
+    out = soup.js_redirects(bodies, live)
+    return out.select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "redirect_url",
+        "redirect_kind",
+        "redirect_to_nothing",
+    )
+
+
 def q_tree_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 nested-JSON export, ORACLED variant: the rank join result is
     canonically acyclicized first (an edge survives only if parent_idx <
@@ -851,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_dispatch": q_decode_dispatch,
         "tree_json": q_tree_json,
         "tree_export": q_tree_export,
+        "soup_features": q_soup_features,
+        "js_redirect": q_js_redirect,
         "sidecar_join": q_sidecar_join,
         "ref_cleanup": q_ref_cleanup,
         "header_lookup": q_header_lookup,
@@ -961,6 +1029,72 @@ def oracle_sql() -> dict[str, str]:
              CAST(key_num AS BIGINT) AS key_num,
              {fine} AS cell, {coarse} AS coarse_cell, valid
       FROM live"""
+
+    # F17/F18/F26 + F19/F20 soup oracles: markup bodies derived in-query
+    # (same 4 arms as _with_markup_body), tags/resources via
+    # regexp_extract_all, domhash = first 32 hex of sha256 over the
+    # '|'-joined lowercased tag sequence, JS/meta redirect targets
+    # resolved against the per-doc key universe
+    _soup_bodies = """
+      bodies AS (
+        SELECT doc_id, span_idx,
+               CASE span_idx % 4
+                 WHEN 0 THEN '<div><img src="' || t2
+                             || '"><script>location.href=''' || t2
+                             || '''</script></div>'
+                 WHEN 1 THEN '<meta http-equiv="refresh" content="5;url='
+                             || t1 || '">'
+                 WHEN 2 THEN '<span>no markup refs</span>'
+                 ELSE '<script>location.replace(''kZZZ'')</script>'
+               END AS body
+        FROM (SELECT doc_id, span_idx,
+                     split_part(text, ' ', 1) AS t1,
+                     split_part(text, ' ', 2) AS t2
+              FROM live)
+      )"""
+    out["soup_features"] = f"""{cte}, {_soup_bodies.strip()},
+      tagged AS (
+        SELECT doc_id, span_idx,
+               list_transform(
+                 regexp_extract_all(body, '<([a-zA-Z][a-zA-Z0-9]*)', 1),
+                 t -> lower(t)) AS tags,
+               regexp_extract_all(body, '(?:src|href)="([^"]*)"', 1) AS res
+        FROM bodies
+      )
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+             CASE WHEN len(tags) > 0
+                  THEN substr(sha256(array_to_string(tags, '|')), 1, 32)
+             END AS domhash,
+             CAST(len(tags) AS BIGINT) AS n_tags,
+             CAST(len(res) AS BIGINT) AS n_res,
+             COALESCE(array_to_string(res, ','), '') AS res_csv
+      FROM tagged"""
+
+    out["js_redirect"] = f"""{cte}, {_soup_bodies.strip()},
+      extracted AS (
+        SELECT doc_id, span_idx,
+               COALESCE(regexp_extract(body,
+                 'location\\.(?:href\\s*=|replace\\(|assign\\()\\s*''([^'']*)''',
+                 1), '') AS js,
+               COALESCE(regexp_extract(body,
+                 'http-equiv="refresh"[^>]*url=([^">]*)', 1), '') AS mt
+        FROM bodies
+      ),
+      cand AS (
+        SELECT doc_id, span_idx,
+               CASE WHEN js <> '' THEN js WHEN mt <> '' THEN mt END AS target,
+               CASE WHEN js <> '' THEN 'js' WHEN mt <> '' THEN 'meta' END
+                 AS redirect_kind
+        FROM extracted
+        WHERE (js <> '' OR mt <> '')
+      ),
+      uni AS (SELECT DISTINCT doc_id, key FROM live WHERE key IS NOT NULL)
+      SELECT c.doc_id, CAST(c.span_idx AS BIGINT) AS span_idx,
+             CASE WHEN u.key IS NOT NULL THEN c.target END AS redirect_url,
+             c.redirect_kind,
+             (u.key IS NULL) AS redirect_to_nothing
+      FROM cand c
+      LEFT JOIN uni u ON u.doc_id = c.doc_id AND u.key = c.target"""
 
     # S5 export replay: acyclicized rank forest -> recursive path CTE ->
     # DFS-ordered (path sort) string_agg; each node contributes

@@ -1,0 +1,66 @@
+"""Markup parse + JS-redirect extraction (F17/F18/F19/F26 family)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from har2tree_spark.operators import soup
+
+
+def _bodies(spark):
+    rows = [
+        ("d1", 0, '<html><body><img src="k2"><a href="x.css">t</a></body></html>'),
+        ("d1", 1, "<script>location.href='k2'</script>"),
+        ("d1", 2, "<script>location.replace('k404')</script>"),
+        ("d1", 3, '<meta http-equiv="refresh" content="5;url=k1">'),
+        ("d1", 4, "no markup at all"),
+        ("d1", 5, "<p>upper <IMG SRC='x'> lower</p>"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, span_idx int, body string")
+
+
+def test_soup_features_tags_and_resources(spark):
+    got = {r.span_idx: r for r in soup.soup_features(_bodies(spark)).collect()}
+    assert got[0].tags == ["html", "body", "img", "a"]
+    assert got[0].res_refs == ["k2", "x.css"]
+    # domhash contract (F26): first 32 hex of sha256 over '|'-joined tags
+    exp = hashlib.sha256(b"html|body|img|a").hexdigest()[:32]
+    assert got[0].domhash == exp
+    # no tags -> null domhash, empty arrays
+    assert got[4].n_tags == 0 and got[4].domhash is None and got[4].res_refs == []
+    # tag names lowercased (IMG -> img)
+    assert got[5].tags == ["p", "img"]
+
+
+def test_js_redirects_universe_semijoin(spark):
+    bodies = _bodies(spark)
+    feats = spark.createDataFrame(
+        [("d1", 0, "k1"), ("d1", 1, "k2")], "doc_id string, span_idx int, key string"
+    )
+    got = {r.span_idx: r for r in soup.js_redirects(bodies, feats).collect()}
+    # location.href to a known key resolves
+    assert got[1].redirect_url == "k2" and got[1].redirect_kind == "js"
+    assert not got[1].redirect_to_nothing
+    # unknown target: flagged, kept, null url (redirect_to_nothing contract)
+    assert got[2].redirect_url is None and got[2].redirect_to_nothing
+    # meta refresh arm
+    assert got[3].redirect_kind == "meta" and got[3].redirect_url == "k1"
+    # bodies with no redirect marker produce no row
+    assert 0 not in got and 4 not in got
+
+
+def test_js_redirect_assign_variant(spark):
+    bodies = spark.createDataFrame(
+        [("d1", 0, "<script>location.assign('k9')</script>")],
+        "doc_id string, span_idx int, body string",
+    )
+    feats = spark.createDataFrame([("d1", 9, "k9")], "doc_id string, span_idx int, key string")
+    r = soup.js_redirects(bodies, feats).collect()[0]
+    assert r.redirect_url == "k9" and r.redirect_kind == "js"
+
+
+def test_soup_is_narrow(spark):
+    # the markup parse must stay a JVM projection: no shuffle, no Python
+    plan = soup.soup_features(_bodies(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
