@@ -348,6 +348,20 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (second scale path): deterministic sampled quantizer ->
+    inverted lists -> nprobe probing -> exact re-rank. Fully
+    SQL-replayable (centroids are a SELECT, assignment an argmax
+    window)."""
+    from har2tree_spark.ann import ivf  # noqa: PLC0415
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 20)
+    return ivf.ivf_topk(e, qs, k=5, n_centroids=32, nprobe=4).select(
+        "query_id", "neighbor_id", "rk"
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs; the oracle replays the 64-bit bit-majority
     fold from md5 hex digits as a bit string."""
@@ -895,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "emb_neardup": q_emb_neardup,
         "simhash_pairs": q_simhash,
         "geo_zonal": q_geo_zonal,
@@ -1534,6 +1549,50 @@ def oracle_sql() -> dict[str, str]:
              CAST(2 AS BIGINT) AS n_blobs,
              printf('m%08d', i) AS keeper
       FROM ids"""
+
+    _cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    out["ann_ivf"] = f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS MATERIALIZED (
+        SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 32
+      ),
+      lists AS (
+        SELECT neighbor_id, nv, centroid_id FROM (
+          SELECT e.vec_id AS neighbor_id, e.v AS nv, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_cos.format(a='e.v', b='c.cv')} DESC,
+                            c.centroid_id) AS crk
+          FROM e, cents c
+        ) WHERE crk <= 1
+      ),
+      probes AS (
+        SELECT query_id, qv, centroid_id FROM (
+          SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_cos.format(a='e.v', b='c.cv')} DESC,
+                            c.centroid_id) AS crk
+          FROM e, cents c WHERE e.vec_id < 20
+        ) WHERE crk <= 4
+      ),
+      cand AS (
+        SELECT p.query_id, l.neighbor_id,
+               ANY_VALUE(p.qv) AS qv, ANY_VALUE(l.nv) AS nv
+        FROM lists l JOIN probes p USING (centroid_id)
+        WHERE p.query_id <> l.neighbor_id
+        GROUP BY p.query_id, l.neighbor_id
+      )
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             CAST(rk AS BIGINT) AS rk
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY {_cos.format(a='qv', b='nv')} DESC,
+                              neighbor_id) AS rk
+            FROM cand)
+      WHERE rk <= 5"""
 
     out["ann_topk"] = """
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

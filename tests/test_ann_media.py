@@ -44,6 +44,29 @@ def test_lsh_topk_recall(spark):
     assert hits >= 4
 
 
+def test_ivf_topk_recall_and_laws(spark):
+    from har2tree_spark.ann import ivf
+
+    df, _ = _emb(spark, n=120)
+    qs = df.filter("vec_id < 5")
+    exact = knn.cosine_topk(df, qs, k=1).toPandas()
+    approx = ivf.ivf_topk(df, qs, k=1, n_centroids=12, nprobe=4).toPandas()
+    e = exact.set_index("query_id").neighbor_id
+    a = approx.set_index("query_id").neighbor_id
+    # clustered data: probing 4 of 12 lists must recover most exact-1NN
+    hits = sum(int(e.get(q, -1) == a.get(q, -2)) for q in e.index)
+    assert hits >= 4
+    full = ivf.ivf_topk(df, qs, k=3, n_centroids=12, nprobe=4).toPandas()
+    # per-query ranks are 1..n without gaps, no self matches
+    for q, g in full.groupby("query_id"):
+        assert list(g.sort_values("rk").rk) == list(range(1, len(g) + 1))
+        assert (g.neighbor_id != q).all()
+    # deterministic
+    again = ivf.ivf_topk(df, qs, k=3, n_centroids=12, nprobe=4).toPandas()
+    assert full.sort_values(["query_id", "rk"]).values.tolist() == \
+        again.sort_values(["query_id", "rk"]).values.tolist()
+
+
 def test_embedding_neardup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

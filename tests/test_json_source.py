@@ -1,0 +1,39 @@
+"""JSON source (S1 in the reference's native format) round trip +
+quarantine."""
+
+from har2tree_spark.datagen import gen_documents_df
+from har2tree_spark.operators.cascade import resolve_exact
+from har2tree_spark.operators.parse import parse_documents
+from har2tree_spark.sources import json_source
+
+
+def test_json_round_trip_matches_parquet_route(spark, tmp_path):
+    docs = gen_documents_df(spark, 40, seed=11, include_scenarios=True)
+    jdir = str(tmp_path / "docs_json")
+    pdir = str(tmp_path / "docs_parquet")
+    json_source.write_documents_json(docs, jdir)
+    docs.write.parquet(pdir)
+
+    jdocs, quarantine = json_source.read_documents_json(spark, jdir)
+    assert quarantine.count() == 0
+    a = resolve_exact(parse_documents(jdocs)).toPandas()
+    b = resolve_exact(parse_documents(spark.read.parquet(pdir))).toPandas()
+    key = ["doc_id", "span_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b), "JSON and parquet routes must produce identical trees"
+
+
+def test_json_quarantines_malformed_lines(spark, tmp_path):
+    jdir = tmp_path / "mixed"
+    jdir.mkdir()
+    good = '{"doc_id": "d1", "spans": [{"kind": "html", "text": "k1 k2", "media_ref": "", "offset": 0}]}'
+    (jdir / "part-0.json").write_text(
+        good + "\n" + "this is not json at all\n" + '{"spans": [], "no_doc_id": 1}\n'
+    )
+    docs, quarantine = json_source.read_documents_json(spark, str(jdir))
+    assert docs.count() == 1
+    assert docs.columns == ["doc_id", "spans"]
+    q = [r.raw for r in quarantine.collect()]
+    assert len(q) == 2
+    assert any("not json" in r for r in q)
