@@ -25,7 +25,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from har2tree_spark.schema import DOCUMENTS_SCHEMA
 
 KEY_MOD = 997
 EMPTY_VALUE_CUTOFF = 8.0

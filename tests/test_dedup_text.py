@@ -1,7 +1,5 @@
 """Dedup families, text quality, fingerprinting."""
 
-from pyspark.sql import functions as F
-
 from har2tree_spark.text import dedup, quality
 
 

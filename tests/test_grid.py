@@ -2,7 +2,6 @@
 
 import duckdb
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from har2tree_spark.geo import grid

@@ -2,8 +2,6 @@
 
 import hashlib
 
-from pyspark.sql import functions as F
-
 from har2tree_spark.operators import soup
 
 
