@@ -94,6 +94,14 @@ def test_random_docs_exact_stress(spark):
     _assert_match(spark, docs)
 
 
+def test_random_docs_exact_large_skewed(spark):
+    # flagship-scale parity: 2000 docs with the scaling bench's zipf-hot
+    # key config (hot cells = the mega-hostname analogue), enough rows
+    # that docs straddle many Arrow batches across many partitions
+    docs = gen_docs(4242, 2000, GenConfig(max_spans=32, p_hot=0.2, zipf_s=1.2))
+    _assert_match(spark, docs)
+
+
 def test_batch_and_group_methods_agree(spark):
     docs = gen_docs(77, 100)
     df = spark.createDataFrame(docs, DOCUMENTS_SCHEMA)
