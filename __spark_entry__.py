@@ -731,6 +731,55 @@ def q_js_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_GATE_SEQ = [0]
+
+
+def q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming gate: the documents table consumed as a FILE STREAM
+    (micro-batches through the state store, availableNow trigger, memory
+    sink), aggregated per doc_id bucket. The oracle is the equivalent
+    batch SQL — streaming output == batch output is the exactly-once
+    correctness property this gates."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # the file-stream source wants a DIRECTORY; the driver table is one
+    # parquet file — expose it through a symlinked temp dir
+    d = tempfile.mkdtemp(prefix="stream_gate_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"), f"{d}/part-0.parquet"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.withColumn(
+            "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+        )
+        .groupBy((F.col("doc_id") % 10).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_gate_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.col("bucket").cast("long").alias("bucket"), "n_docs", "total_tokens"
+    )
+
+
 def q_tree_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 nested-JSON export, ORACLED variant: the rank join result is
     canonically acyclicized first (an edge survives only if parent_idx <
@@ -932,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_dispatch": q_decode_dispatch,
         "tree_json": q_tree_json,
         "tree_export": q_tree_export,
+        "stream_agg": q_stream_agg,
         "soup_features": q_soup_features,
         "js_redirect": q_js_redirect,
         "sidecar_join": q_sidecar_join,
@@ -1044,6 +1094,13 @@ def oracle_sql() -> dict[str, str]:
              CAST(key_num AS BIGINT) AS key_num,
              {fine} AS cell, {coarse} AS coarse_cell, valid
       FROM live"""
+
+    out["stream_agg"] = r"""
+      SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY doc_id % 10"""
 
     # F17/F18/F26 + F19/F20 soup oracles: markup bodies derived in-query
     # (same 4 arms as _with_markup_body), tags/resources via
