@@ -94,6 +94,13 @@ def test_random_docs_exact_stress(spark):
     _assert_match(spark, docs)
 
 
+def test_random_docs_exact_very_long_docs(spark):
+    # 256-span docs: deep DFS stacks, large per-doc candidate indexes,
+    # multi-batch Arrow slices within one doc
+    docs = gen_docs(1007, 30, GenConfig(max_spans=256))
+    _assert_match(spark, docs)
+
+
 def test_random_docs_exact_large_skewed(spark):
     # flagship-scale parity: 2000 docs with the scaling bench's zipf-hot
     # key config (hot cells = the mega-hostname analogue), enough rows
