@@ -928,14 +928,20 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: documents grouped by content digest."""
+    """Exact dedup via the library operator: documents grouped by content
+    digest; members capped at 100 ids (bounded row width at scale — the
+    oracle replays the same slice so a cap change diverges loudly)."""
+    from har2tree_spark.text import dedup  # noqa: PLC0415
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.min("doc_id").cast("long").alias("keeper_doc_id"),
-        )
+    out = dedup.exact_dedup(d, members_cap=100)
+    return out.select(
+        "content_hash",
+        "n_docs",
+        F.col("keeper").cast("long").alias("keeper_doc_id"),
+        F.concat_ws(",", F.col("members").cast("array<string>")).alias(
+            "members_csv"
+        ),
     )
 
 
@@ -1348,7 +1354,9 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_exact"] = """
       SELECT md5(text) AS content_hash,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+             CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+             array_to_string((list_sort(list(doc_id)))[1:100], ',')
+               AS members_csv
       FROM documents GROUP BY md5(text)"""
 
     # shingle CTE shared by the two text-dedup oracles (3-word shingles,
@@ -1956,21 +1964,29 @@ def oracle_sql() -> dict[str, str]:
             THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END AS bit
         FROM hx, (SELECT unnest(range(0, 64)) AS b) rb
       ),
-      fp AS (SELECT id, string_agg(bit, '' ORDER BY b DESC) AS f FROM bits GROUP BY id),
+      fp AS (
+        SELECT id, string_agg(bit, '' ORDER BY b DESC) AS f,
+               SUM(CASE WHEN bit = '1' AND b < 63 THEN (1::BIGINT << CAST(b AS INTEGER))
+                        WHEN bit = '1' THEN -9223372036854775808
+                        ELSE 0 END) AS fl
+        FROM bits GROUP BY id
+      ),
       banded AS (
-        SELECT id, f, band, CASE band {band_cases} END AS bh
+        SELECT id, f, fl, band, CASE band {band_cases} END AS bh
         FROM fp, (SELECT unnest(range(0, {len(layout)})) AS band) rb2
       ),
       okb AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING COUNT(*) <= 64),
       bk AS (SELECT banded.* FROM banded JOIN okb USING (band, bh)),
       pairs AS (
         SELECT a.id AS id_a, b.id AS id_b,
-               ANY_VALUE(a.f) AS fa, ANY_VALUE(b.f) AS fb
+               ANY_VALUE(a.f) AS fa, ANY_VALUE(b.f) AS fb,
+               ANY_VALUE(a.fl) AS fla, ANY_VALUE(b.fl) AS flb
         FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
         GROUP BY a.id, b.id
       )
       SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-             CAST({ham_expr} AS BIGINT) AS hamming
+             CAST({ham_expr} AS BIGINT) AS hamming,
+             CAST(fla AS BIGINT) AS simhash_a, CAST(flb AS BIGINT) AS simhash_b
       FROM pairs WHERE {ham_expr} <= 8"""
 
     # ---- attrs family -----------------------------------------------------

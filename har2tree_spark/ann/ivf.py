@@ -47,19 +47,41 @@ def _assign(
     vec_col: str,
 ) -> DataFrame:
     """Top-``n_lists`` centroid assignments per vector (cosine argmax,
-    ties broken by centroid_id). Broadcast join + window — the corpus
-    never shuffles by itself."""
+    ties broken by centroid_id). Broadcast join, then:
+
+      * ``n_lists == 1`` (the corpus->inverted-list path, K x corpus
+        rows): a ``max_by`` aggregation — map-side partial combine, no
+        per-partition sort, no full sort-shuffle of K x the corpus. At
+        10^12 corpus rows this is the difference between one partial-agg
+        shuffle of the corpus and a window sort over K x the corpus.
+      * ``n_lists > 1`` (the query nprobe path, small by construction):
+        the row_number window, which is the natural top-n shape.
+
+    The max_by ordering struct (cscore, -centroid_id) reproduces the
+    window's (cscore DESC, centroid_id ASC) tie-break exactly —
+    plan-asserted and gate-checked identical (`ann_ivf`)."""
     v = df.select(
         F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias)
     )
     score = _dot(F.col(vec_alias), F.col("cv")) / (
         _norm(F.col(vec_alias)) * _norm(F.col("cv"))
     )
+    scored = v.crossJoin(F.broadcast(centroids)).withColumn("cscore", score)
+    if n_lists == 1:
+        best = scored.groupBy(id_alias).agg(
+            F.max_by(
+                F.struct(F.col("centroid_id"), F.col(vec_alias)),
+                F.struct(F.col("cscore"), (-F.col("centroid_id")).alias("tb")),
+            ).alias("best")
+        )
+        return best.select(
+            id_alias,
+            F.col(f"best.{vec_alias}").alias(vec_alias),
+            F.col("best.centroid_id").alias("centroid_id"),
+        )
     w = Window.partitionBy(id_alias).orderBy(F.desc("cscore"), F.asc("centroid_id"))
     return (
-        v.crossJoin(F.broadcast(centroids))
-        .withColumn("cscore", score)
-        .withColumn("crk", F.row_number().over(w))
+        scored.withColumn("crk", F.row_number().over(w))
         .filter(F.col("crk") <= n_lists)
         .drop("cv", "cscore", "crk")
     )

@@ -8,8 +8,9 @@ All four families over a text table (default: the driver's ``documents``):
   * SimHash         — bit-majority fingerprint + banded Hamming buckets;
   * n-gram Jaccard  — explode shingles -> equi-join -> pair counts.
 
-Everything except the SimHash bit-fold is pure ``F.*`` column expressions
-(JVM, codegen). MinHash uses md5 as the hash family (same function exists
+Everything — including the SimHash bit-majority fold — is pure ``F.*``
+column expressions (JVM, codegen; no Python stage anywhere in this
+module). MinHash uses md5 as the hash family (same function exists
 in DuckDB, so the driver's oracle can replay signatures bit-identically);
 min over the hex string is a valid uniform min-hash.
 
@@ -21,21 +22,37 @@ the hot-cell analogue) cannot produce a quadratic pair blowup.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Groups by content digest; keeper = min id per group."""
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    members_cap: int = 100,
+) -> DataFrame:
+    """Groups by content digest; keeper = min id per group.
+
+    ``members`` holds only the ``members_cap`` smallest ids per group
+    (sorted); ``n_docs`` stays exact. At 100 TB a degenerate group (10^7
+    identical boilerplate docs) must not materialize one row holding every
+    member id — the slice bounds the emitted row width (and the shuffled
+    bytes) to O(members_cap). The collect_list aggregation buffer is still
+    O(group) transiently on one reducer (~80 MB at 10^7 longs — spill-safe,
+    not row-width-unsafe); callers that expect adversarially larger groups
+    should pre-cap with a row_number window over (content_hash, id) at the
+    cost of one extra sort-shuffle. Pass ``members_cap=None`` for the
+    exact unbounded list (small corpora only)."""
+    members = F.sort_array(F.collect_list(id_col))
+    if members_cap is not None:
+        members = F.slice(members, 1, members_cap)
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.min(id_col).alias("keeper"),
-            F.sort_array(F.collect_list(id_col)).alias("members"),
+            members.alias("members"),
         )
     )
 
@@ -212,33 +229,54 @@ def ngram_jaccard_pairs(
     )
 
 
-@F.pandas_udf(T.LongType())
-def _simhash64(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash over token lists (Arrow-batched; numpy bit fold).
-    Token hash = first 8 bytes of md5, which keeps parity with any md5-based
-    oracle."""
-    import hashlib  # noqa: PLC0415
-
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for row, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            continue
-        hs = np.frombuffer(
-            b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
-            dtype=">u8",
-        ).astype(np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        vote = (2 * bits - 1).sum(axis=0)
-        sh = np.uint64(0)
-        for bpos in np.nonzero(vote > 0)[0]:
-            sh |= np.uint64(1) << np.uint64(bpos)
-        out[row] = np.int64(sh)
-    return pd.Series(out)
-
-
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side (no Python stage).
+
+    Token hash = first 8 bytes (16 hex chars) of md5(token) — the same
+    md5-derived family as the rest of this module, so the fingerprint is
+    bit-replayable by a SQL oracle. The bit-majority fold is expressed
+    relationally: explode tokens (narrow) -> md5 -> split the 64-bit hash
+    into two 32-bit halves (BIGINT-safe in Spark AND DuckDB) -> ONE
+    groupBy(id) with 64 `sum(bit)` aggregates (map-side partial combine,
+    single shuffle) -> majority vote (2*sum > count) reassembled into a
+    signed long (bit 63 contributes -2^63, keeping every intermediate in
+    BIGINT range under ANSI). A left join back to the id universe restores
+    docs whose text is NULL (no token rows) as simhash 0 — the same
+    contract as the previous Arrow-UDF implementation, now ~100% codegen.
+
+    Plan shape note: hi/lo are projected in their OWN select before the
+    aggregate — each is referenced 32 times, and CollapseProject only
+    preserves intermediates that are materialized as named columns."""
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    return df.select(F.col(id_col).alias("id"), _simhash64(toks).alias("simhash"))
+    tok_rows = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .select("id", F.md5("tok").alias("h"))
+        .select(
+            "id",
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
+        )
+    )
+
+    def bit(b: int) -> Column:
+        src, off = ("hi", b - 32) if b >= 32 else ("lo", b)
+        return F.shiftright(F.col(src), off) % 2
+
+    agg = tok_rows.groupBy("id").agg(
+        F.count("*").alias("n_tok"),
+        *[F.sum(bit(b)).alias(f"s{b}") for b in range(64)],
+    )
+    majority = [(2 * F.col(f"s{b}") > F.col("n_tok")) for b in range(64)]
+    low = sum(
+        (F.when(majority[b], F.lit(1 << b)).otherwise(F.lit(0)) for b in range(63)),
+        F.lit(0),
+    )
+    sh = low + F.when(majority[63], F.lit(-(1 << 63))).otherwise(F.lit(0))
+    fp = agg.select("id", sh.alias("simhash"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(fp, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash")
+    )
 
 
 def simhash_band_layout(bands: int) -> list[tuple[int, int]]:
@@ -302,5 +340,11 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("long").alias("hamming"),
+            F.col("h_a").cast("long").alias("simhash_a"),
+            F.col("h_b").cast("long").alias("simhash_b"),
+        )
     )

@@ -96,3 +96,64 @@ def test_simhash_bands_guard(spark):
     layout = dedup.simhash_band_layout(9)
     assert sum(w for _, w in layout) == 64
     assert layout[0] == (0, 8)
+
+
+def _py_simhash64(text: str) -> int:
+    """Independent oracle for the JVM simhash: the module's original
+    Arrow-UDF algorithm (first-8-bytes-of-md5 token hashes, strict
+    bit-majority vote), kept as the parity contract."""
+    import hashlib
+    import re as _re
+
+    toks = _re.split(r"\s+", text.strip()) if text is not None else None
+    if toks is None or len(toks) == 0:
+        return 0
+    votes = [0] * 64
+    for t in toks:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    # reinterpret as signed 64-bit (the engine column is a Spark long)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def test_simhash_jvm_matches_python_oracle(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a b c d e f g h i j k l m n o p"),
+        (3, ""),  # empty text -> single '' token, NOT fingerprint 0
+        (4, "one"),
+        (5, "   padded   whitespace   everywhere   "),
+        (6, "repeated repeated repeated token token mix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+    for i, text in rows:
+        assert got[i] == _py_simhash64(text), f"doc {i}"
+
+
+def test_simhash_null_text_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "real text here")], "doc_id long, text string"
+    )
+    got = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+    assert got[1] == 0
+    assert got[2] == _py_simhash64("real text here")
+
+
+def test_exact_dedup_members_bounded(spark):
+    """Law test (VERDICT r3 #1): a 10^5-identical-doc corpus must produce a
+    bounded members row — n_docs exact, members = the 100 smallest ids."""
+    from pyspark.sql import functions as F
+
+    d = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("identical boilerplate").alias("text")
+    )
+    row = dedup.exact_dedup(d, members_cap=100).collect()[0]
+    assert row.n_docs == 100_000
+    assert row.keeper == 0
+    assert list(row.members) == list(range(100))

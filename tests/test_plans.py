@@ -183,3 +183,36 @@ def test_tree_json_single_shuffle(spark, tmp_path):
     # mapInPandas + the feature join, which broadcasts at this scale)
     assert "MapInPandas" in plan
     assert _n_exchanges(plan) <= _n_exchanges(_plan(jr)) + 2, plan
+
+
+def test_simhash_no_python_stage(spark):
+    """The SimHash fold is pure F.* now: no Arrow/row Python eval node may
+    appear anywhere in the pairs plan (VERDICT r3 #2)."""
+    from har2tree_spark.text import dedup
+
+    rows = [(i, f"tok{i} alpha beta gamma delta") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = _plan(dedup.simhash_pairs(df, max_hamming=3))
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, f"{node} in simhash plan"
+
+
+def test_ivf_assignment_partial_agg(spark):
+    """The corpus->inverted-list assignment (n_lists=1) must be a max_by
+    aggregation with map-side partial combine — not a row_number window
+    sorting K x the corpus (VERDICT r3 #6)."""
+    import numpy as np
+
+    from har2tree_spark.ann import ivf
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf.sampled_centroids(df, 8)
+    lists = ivf._assign(df, cents, 1, "neighbor_id", "nv", "vec_id", "embedding")
+    plan = _plan(lists)
+    assert "max_by" in plan and "partial" in plan.lower(), plan
+    assert "(1) Window" not in plan and " Window" not in plan, plan
+    # the nprobe>1 probe path keeps its window (natural top-n shape)
+    probes = ivf._assign(df, cents, 4, "query_id", "qv", "vec_id", "embedding")
+    assert "Window" in _plan(probes)
