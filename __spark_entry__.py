@@ -623,19 +623,40 @@ def q_key_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9/F10/F14 multi-way payload decode dispatch (nodes.py:260-498
-    analogue) incl. the base64 blind-retry (padding-fix) arm."""
+    analogue): 12 shape arms incl. base64 blind-retry, multipart split,
+    json-stream reframe, form-urlencoded, garbled-gzip flagging, and the
+    POST-decode size rules (nodes.py:486-498)."""
     from har2tree_spark.operators import decode  # noqa: PLC0415
 
     f = _live(spark, sf_dir)
-    m = F.pmod(F.col("span_idx"), 6)
+    m = F.pmod(F.col("span_idx"), 10)
     b64 = F.base64(F.col("text").cast("binary"))
+    t1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    t2 = F.split_part(F.col("text"), F.lit(" "), F.lit(2))
     pay = (
         F.when(m == 0, F.concat(F.lit("data:text/plain;base64,"), b64))
         .when(m == 1, b64)
         .when(m == 2, F.regexp_replace(b64, "=+$", ""))
         .when(m == 3, F.hex(F.col("text")))
         .when(m == 4, F.concat(F.lit('{"v":"'), F.col("text"), F.lit('"}')))
-        .otherwise(F.concat(F.lit("p "), F.col("text")))
+        .when(m == 5, F.concat(F.lit("p "), F.col("text")))
+        .when(
+            m == 6,
+            F.concat(
+                F.lit('--bnd\ncontent-disposition: form-data; name="f0"\n\n'),
+                F.col("text"),
+                F.lit('\n--bnd\ncontent-disposition: form-data; name="f1"\n\n'),
+                t1,
+                F.lit("\n--bnd--"),
+            ),
+        )
+        .when(m == 7, F.concat(F.lit("k="), F.translate(F.col("text"), " ", "+")))
+        .when(m == 8, F.concat(F.lit(decode.GZIP_GARBLED_PREFIX), F.col("text")))
+        .otherwise(
+            F.concat(
+                F.lit('{"a":"'), t1, F.lit('"}{"b":"'), t2, F.lit('"}')
+            )
+        )
     )
     out = decode.decode_dispatch(f.withColumn("payload", pay))
     return out.select(
@@ -644,6 +665,7 @@ def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decode_kind",
         "decode_ok",
         "decoded",
+        "decoded_size",
     )
 
 
@@ -678,13 +700,13 @@ def q_span_timings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_markup_body(live: DataFrame) -> DataFrame:
-    """Markup bodies derived in-query from span text (4 arms by span_idx),
+    """Markup bodies derived in-query from span text (5 arms by span_idx),
     mirrored exactly by the soup oracles: resource+JS-redirect markup,
     meta refresh to the span's own key, plain markup, unresolvable
-    redirect."""
+    redirect, CSS with url()/@import refs + a srcset/poster attribute."""
     t1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
     t2 = F.split_part(F.col("text"), F.lit(" "), F.lit(2))
-    m = F.col("span_idx") % 4
+    m = F.col("span_idx") % 5
     body = (
         F.when(
             m == 0,
@@ -702,7 +724,15 @@ def _with_markup_body(live: DataFrame) -> DataFrame:
             ),
         )
         .when(m == 2, F.lit("<span>no markup refs</span>"))
-        .otherwise(F.lit("<script>location.replace('kZZZ')</script>"))
+        .when(m == 3, F.lit("<script>location.replace('kZZZ')</script>"))
+        .otherwise(
+            F.concat(
+                F.lit('<style>.x{background:url("'), t1,
+                F.lit('")} @import \''), t2,
+                F.lit("';</style><video poster=\""), t1,
+                F.lit('"></video>'),
+            )
+        )
     )
     return live.withColumn("body", body)
 
@@ -1128,14 +1158,17 @@ def oracle_sql() -> dict[str, str]:
     _soup_bodies = """
       bodies AS (
         SELECT doc_id, span_idx,
-               CASE span_idx % 4
+               CASE span_idx % 5
                  WHEN 0 THEN '<div><img src="' || t2
                              || '"><script>location.href=''' || t2
                              || '''</script></div>'
                  WHEN 1 THEN '<meta http-equiv="refresh" content="5;url='
                              || t1 || '">'
                  WHEN 2 THEN '<span>no markup refs</span>'
-                 ELSE '<script>location.replace(''kZZZ'')</script>'
+                 WHEN 3 THEN '<script>location.replace(''kZZZ'')</script>'
+                 ELSE '<style>.x{background:url("' || t1
+                      || '")} @import ''' || t2
+                      || ''';</style><video poster="' || t1 || '"></video>'
                END AS body
         FROM (SELECT doc_id, span_idx,
                      split_part(text, ' ', 1) AS t1,
@@ -1148,7 +1181,11 @@ def oracle_sql() -> dict[str, str]:
                list_transform(
                  regexp_extract_all(body, '<([a-zA-Z][a-zA-Z0-9]*)', 1),
                  t -> lower(t)) AS tags,
-               regexp_extract_all(body, '(?:src|href)="([^"]*)"', 1) AS res
+               regexp_extract_all(body,
+                 '\\b(?:src|srcset|longdesc|poster|href|data)="([^"]*)"', 1)
+               || regexp_extract_all(body, 'url\\([''"]?([^''")]+)[''"]?\\)', 1)
+               || regexp_extract_all(body, '@import\\s+[''"]([^''"]+)[''"]', 1)
+                 AS res
         FROM bodies
       )
       SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
@@ -2077,53 +2114,91 @@ def oracle_sql() -> dict[str, str]:
 
     b64_re = "^[A-Za-z0-9+/]+={0,2}$"
     b64_nopad_re = "^[A-Za-z0-9+/]+$"
+    form_re = "^[A-Za-z0-9_.~%+-]+=[A-Za-z0-9_.~%+&=-]*$"
+    # 12-arm shape dispatch, priority-ordered exactly like
+    # har2tree_spark.operators.decode.decode_dispatch
     out["decode_dispatch"] = f"""{cte},
       pay AS (
         SELECT doc_id, span_idx,
-               CASE span_idx % 6
+               CASE span_idx % 10
                  WHEN 0 THEN 'data:text/plain;base64,' || to_base64(encode(text))
                  WHEN 1 THEN to_base64(encode(text))
                  WHEN 2 THEN regexp_replace(to_base64(encode(text)), '=+$', '')
                  WHEN 3 THEN hex(text)
                  WHEN 4 THEN '{{"v":"' || text || '"}}'
-                 ELSE 'p ' || text
+                 WHEN 5 THEN 'p ' || text
+                 WHEN 6 THEN '--bnd' || chr(10)
+                             || 'content-disposition: form-data; name="f0"'
+                             || chr(10) || chr(10) || text || chr(10)
+                             || '--bnd' || chr(10)
+                             || 'content-disposition: form-data; name="f1"'
+                             || chr(10) || chr(10) || split_part(text, ' ', 1)
+                             || chr(10) || '--bnd--'
+                 WHEN 7 THEN 'k=' || replace(text, ' ', '+')
+                 WHEN 8 THEN chr(31) || chr(65533) || chr(8) || text
+                 ELSE '{{"a":"' || split_part(text, ' ', 1)
+                      || '"}}{{"b":"' || split_part(text, ' ', 2) || '"}}'
                END AS p
         FROM live
       ),
       d AS (
         SELECT doc_id, span_idx, p,
-               split_part(p, ',', 1) AS hdr, split_part(p, ',', 2) AS body
+               split_part(p, ',', 1) AS hdr, split_part(p, ',', 2) AS body,
+               regexp_extract_all(p, '(?s)\n\n(.*?)\n--', 1) AS mparts,
+               (p LIKE (chr(31) || chr(65533) || chr(8) || '%')) AS garbled,
+               regexp_matches(p, '^--[A-Za-z0-9]+\n') AS is_mp,
+               (regexp_matches(p, '^[0-9a-fA-F]+$') AND length(p) % 2 = 0)
+                 AS hexish,
+               (regexp_matches(p, '{b64_re}') AND length(p) % 4 = 0) AS b64ish,
+               (regexp_matches(p, '{b64_nopad_re}') AND length(p) % 4 <> 1
+                AND length(p) % 4 <> 0) AS b64_fixable,
+               (regexp_matches(p, '{form_re}') AND NOT contains(
+                  regexp_replace(p, '%[0-9A-Fa-f]{{2}}', '', 'g'), '%'))
+                 AS formish,
+               (p LIKE '{{%' AND regexp_matches(p, '\\}}\\{{')) AS jstream
         FROM pay
-      )
-      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+      ),
+      d2 AS (
+        SELECT doc_id, span_idx,
              CASE WHEN p = '' THEN 'empty'
+                  WHEN garbled THEN 'gzip_garbled'
                   WHEN p LIKE 'data:%' AND hdr LIKE '%;base64%' THEN 'data_uri_b64'
                   WHEN p LIKE 'data:%' THEN 'data_uri_raw'
-                  WHEN regexp_matches(p, '^[0-9a-fA-F]+$') AND length(p) % 2 = 0 THEN 'hex'
-                  WHEN regexp_matches(p, '{b64_re}') AND length(p) % 4 = 0 THEN 'base64'
-                  WHEN regexp_matches(p, '{b64_nopad_re}') THEN 'base64_padfix'
+                  WHEN is_mp THEN 'multipart'
+                  WHEN hexish THEN 'hex'
+                  WHEN b64ish THEN 'base64'
+                  WHEN b64_fixable THEN 'base64_padfix'
+                  WHEN formish THEN 'form_urlencoded'
+                  WHEN jstream THEN 'json_stream'
                   WHEN p LIKE '{{%' OR p LIKE '[%' THEN 'json'
                   ELSE 'plain' END AS decode_kind,
-             CASE WHEN p LIKE 'data:%' AND hdr LIKE '%;base64%'
+             CASE WHEN garbled THEN FALSE
+                  WHEN p LIKE 'data:%' AND hdr LIKE '%;base64%'
                     THEN regexp_matches(body, '{b64_re}') AND length(body) % 4 = 0
-                  WHEN NOT (regexp_matches(p, '^[0-9a-fA-F]+$') AND length(p) % 2 = 0)
-                       AND regexp_matches(p, '{b64_nopad_re}') AND length(p) % 4 <> 0
-                    THEN length(p) % 4 <> 1
+                  WHEN NOT (p LIKE 'data:%') AND is_mp THEN len(mparts) > 0
                   ELSE TRUE END AS decode_ok,
              CASE WHEN p = '' THEN ''
+                  WHEN garbled THEN p
                   WHEN p LIKE 'data:%' AND hdr LIKE '%;base64%'
                     THEN CASE WHEN regexp_matches(body, '{b64_re}') AND length(body) % 4 = 0
                               THEN decode(from_base64(body)) ELSE '' END
                   WHEN p LIKE 'data:%' THEN body
-                  WHEN regexp_matches(p, '^[0-9a-fA-F]+$') AND length(p) % 2 = 0
-                    THEN decode(from_hex(p))
-                  WHEN regexp_matches(p, '{b64_re}') AND length(p) % 4 = 0
-                    THEN decode(from_base64(p))
-                  WHEN regexp_matches(p, '{b64_nopad_re}') AND length(p) % 4 <> 1
+                  WHEN is_mp THEN array_to_string(mparts, chr(10))
+                  WHEN hexish THEN decode(from_hex(p))
+                  WHEN b64ish THEN decode(from_base64(p))
+                  WHEN b64_fixable
                     THEN decode(from_base64(p || repeat('=', (4 - length(p) % 4) % 4)))
-                  WHEN regexp_matches(p, '{b64_nopad_re}') THEN ''
+                  WHEN formish THEN replace(p, '+', ' ')
+                  WHEN jstream
+                    THEN '[' || regexp_replace(p, '\\}}\\{{', '}},{{', 'g') || ']'
                   ELSE p END AS decoded
-      FROM d"""
+        FROM d
+      )
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+             decode_kind, decode_ok, decoded,
+             CAST(CASE WHEN decoded IS NULL OR decoded = '' THEN 0
+                       ELSE length(decoded) END AS BIGINT) AS decoded_size
+      FROM d2"""
 
     out["span_timings"] = f"""{cte}
       SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,

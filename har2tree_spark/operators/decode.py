@@ -2,27 +2,56 @@
 
 The reference's largest scalar-function family is the POST-body / embedded-
 resource decode dispatch (reference nodes.py:260-498 + helper.py:85-127):
-a ~15-way branch on payload shape (json / base64 / data-URI / raw ...)
-with a "blind retry" arm that re-attempts base64 after fixing padding.
+a ~15-way branch on payload mimetype/shape (urlencoded / json / json-stream /
+multipart / base64 / data-URI / garbled gzip / raw ...) with a "blind retry"
+arm that re-attempts base64 after fixing padding, and a ``posted_data_size``
+computed POST-decode (nodes.py:486-498).
 
 Re-grounded as ONE whole-stage-codegen'd CASE cascade over a payload string
 column — every arm is a pure ``F.*`` expression (regexp gate -> decode), no
-UDF, no Python. Arms, in dispatch priority:
+UDF, no Python. The reference dispatches on a declared mimetype; a
+shape-dispatched engine must order ambiguous grammars specific-first (hex is
+a subset of the base64 charset; a trailing '=' is both base64 padding and an
+empty form value). Arms, in dispatch priority:
 
-  empty          -> ''            (kind 'empty')
-  data-URI b64   -> unbase64 of the payload part   (F14 + F10)
+  empty          -> ''                     (kind 'empty')
+  gzip garbled   -> payload as-is, ok=false (nodes.py:270-276: the
+                    '\\x1f\\ufffd\\x08' replacement-character signature of a
+                    gzip blob garbled by UTF-8 decoding; kept, flagged)
+  data-URI b64   -> unbase64 of the payload part       (F14 + F10)
   data-URI raw   -> payload part as-is
-  base64         -> unbase64                        (F9)
-  base64 padfix  -> unbase64 after re-padding       (F10 blind-retry arm;
-                    length % 4 == 1 is unfixable -> decode_ok = false)
-  hex            -> unhex
-  json           -> payload as-is, tagged json      (F9 json arm)
+  multipart      -> part bodies joined by newline      (nodes.py:377-398;
+                    '--<boundary>' framing, blank-line header separator —
+                    \\n newlines only in this re-ground, the reference
+                    normalizes the other way to \\r\\n for its decoder)
+  hex            -> unhex (before base64: strict-subset grammar)
+  base64         -> unbase64                           (F9)
+  base64 padfix  -> unbase64 after re-padding a pad-free payload (F10
+                    blind-retry; an unfixable length % 4 == 1 payload falls
+                    through to the raw arms — the reference's binascii.Error
+                    -> keep-raw fallback, nodes.py:290-294)
+  form-urlencoded-> '+' -> space normalization         (nodes.py:307-323;
+                    k=v&k=v grammar with valid %XX escapes. Full
+                    percent-decoding is a one-line swap to F.url_decode —
+                    not active because the oracle dialect (DuckDB 1.0) has
+                    no url_decode to mirror it. NOTE: a single trailing-'='
+                    base64 fragment like 'QQ=' parses as a form pair with an
+                    empty value under shape dispatch; with a declared
+                    mimetype the reference would base64-retry it instead —
+                    documented trade-off of mimetype-less dispatch.)
+  json stream    -> concatenated JSON objects reframed as one JSON array
+                    (nodes.py:344-360 application/x-json-stream; exact for
+                    flat payloads whose strings don't contain '}{')
+  json           -> payload as-is, tagged json         (F9 json arm)
   plain          -> payload as-is
 
 Every decode is regexp-gated so the JVM decoder only ever sees
 valid-by-construction input (ANSI mode never throws); ``decode_ok`` records
-the blind-retry failure case. The decoded bytes are returned as a string
-without UTF-8 validation (same contract as the reference's lenient reads).
+the garbled-gzip and invalid-data-URI failure cases. ``decoded_size``
+implements the reference's POST-decode size rules (nodes.py:486-498):
+0 for empty/undecodable, else the length of the decoded value — the
+list/dict branches (len(json.dumps(obj))) map to the length of this
+engine's canonical string serialization of those arms.
 """
 
 from __future__ import annotations
@@ -33,6 +62,11 @@ from pyspark.sql import functions as F
 B64_RE = "^[A-Za-z0-9+/]+={0,2}$"
 B64_NOPAD_RE = "^[A-Za-z0-9+/]+$"
 HEX_RE = "^[0-9a-fA-F]+$"
+GZIP_GARBLED_PREFIX = "\x1f�\x08"
+MULTIPART_RE = "^--[A-Za-z0-9]+\n"
+MULTIPART_PART_RE = "(?s)\n\n(.*?)\n--"
+FORM_RE = "^[A-Za-z0-9_.~%+-]+=[A-Za-z0-9_.~%+&=-]*$"
+JSON_STREAM_RE = "\\}\\{"
 
 
 def _unb64(c: Column) -> Column:
@@ -40,58 +74,77 @@ def _unb64(c: Column) -> Column:
 
 
 def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Adds (decode_kind, decode_ok, decoded) for ``payload_col``."""
+    """Adds (decode_kind, decode_ok, decoded, decoded_size)."""
     p = F.col(payload_col)
+    is_gzip_garbled = p.startswith(GZIP_GARBLED_PREFIX)
     is_data = p.startswith("data:")
     duri_hdr = F.split_part(p, F.lit(","), F.lit(1))
     duri_body = F.split_part(p, F.lit(","), F.lit(2))
-    b64ish = p.rlike(B64_RE)
-    # the blind-retry (re-pad) arm only fires on inputs with NO existing
-    # padding: repadding a partially padded string like 'QQQQQ=' would
-    # build invalid base64 ('QQQQQ===') and break the never-throws
-    # invariant — such inputs fall through to the plain arm instead
-    b64_nopad = p.rlike(B64_NOPAD_RE)
-    padded_ok = F.length(p) % 4 == 0
-    pad_fixable = F.length(p) % 4 != 1
-    repadded = F.concat(p, F.repeat(F.lit("="), (4 - F.length(p) % 4) % 4))
+    duri_ok = duri_body.rlike(B64_RE) & (F.length(duri_body) % 4 == 0)
+    is_multipart = p.rlike(MULTIPART_RE)
+    mp_parts = F.regexp_extract_all(p, F.lit(MULTIPART_PART_RE), 1)
     hexish = p.rlike(HEX_RE) & (F.length(p) % 2 == 0)
+    b64ish = p.rlike(B64_RE) & (F.length(p) % 4 == 0)
+    # blind-retry (re-pad) arm: pad-free payloads only; length % 4 == 1 is
+    # unfixable and falls through to the raw arms (reference keeps raw text
+    # on binascii.Error, nodes.py:290-294)
+    b64_fixable = p.rlike(B64_NOPAD_RE) & (F.length(p) % 4 != 1) & (
+        F.length(p) % 4 != 0
+    )
+    repadded = F.concat(p, F.repeat(F.lit("="), (4 - F.length(p) % 4) % 4))
+    # form grammar + every '%' must open a valid %XX escape (no lookahead:
+    # strip valid escapes, then any surviving '%' is invalid)
+    formish = p.rlike(FORM_RE) & ~F.contains(
+        F.regexp_replace(p, "%[0-9A-Fa-f]{2}", ""), F.lit("%")
+    )
     jsonish = p.startswith("{") | p.startswith("[")
+    json_streamish = p.startswith("{") & p.rlike(JSON_STREAM_RE)
 
-    # hex is dispatched BEFORE base64: the hex grammar is a strict subset of
-    # the base64 charset, so the more specific arm must win (otherwise every
-    # hex payload of length % 4 == 0 would base64-decode into garbage bytes)
     kind = (
         F.when(p == "", "empty")
+        .when(is_gzip_garbled, "gzip_garbled")
         .when(is_data & duri_hdr.contains(";base64"), "data_uri_b64")
         .when(is_data, "data_uri_raw")
+        .when(is_multipart, "multipart")
         .when(hexish, "hex")
-        .when(b64ish & padded_ok, "base64")
-        .when(b64_nopad, "base64_padfix")
+        .when(b64ish, "base64")
+        .when(b64_fixable, "base64_padfix")
+        .when(formish, "form_urlencoded")
+        .when(json_streamish, "json_stream")
         .when(jsonish, "json")
         .otherwise("plain")
     )
     decoded = (
         F.when(p == "", "")
+        .when(is_gzip_garbled, p)
         .when(
             is_data & duri_hdr.contains(";base64"),
-            F.when(duri_body.rlike(B64_RE) & (F.length(duri_body) % 4 == 0),
-                   _unb64(duri_body)).otherwise(""),
+            F.when(duri_ok, _unb64(duri_body)).otherwise(""),
         )
         .when(is_data, duri_body)
+        .when(is_multipart, F.array_join(mp_parts, "\n"))
         .when(hexish, F.unhex(p).cast("string"))
-        .when(b64ish & padded_ok, _unb64(p))
-        .when(b64_nopad & pad_fixable, _unb64(repadded))
-        .when(b64_nopad, "")  # length % 4 == 1: no padding can fix it
+        .when(b64ish, _unb64(p))
+        .when(b64_fixable, _unb64(repadded))
+        .when(formish, F.translate(p, "+", " "))
+        .when(
+            json_streamish,
+            F.concat(F.lit("["), F.regexp_replace(p, "\\}\\{", "},{"), F.lit("]")),
+        )
         .otherwise(p)
     )
     ok = (
-        F.when(
-            is_data & duri_hdr.contains(";base64"),
-            duri_body.rlike(B64_RE) & (F.length(duri_body) % 4 == 0),
-        )
-        .when(~is_data & ~hexish & b64_nopad & ~padded_ok, pad_fixable)
+        F.when(is_gzip_garbled, F.lit(False))
+        .when(is_data & duri_hdr.contains(";base64"), duri_ok)
+        .when(is_multipart, F.size(mp_parts) > 0)
         .otherwise(F.lit(True))
     )
-    return df.withColumn("decode_kind", kind).withColumn("decode_ok", ok).withColumn(
-        "decoded", decoded
+    size = F.when(decoded.isNull() | (decoded == ""), F.lit(0)).otherwise(
+        F.length(decoded)
+    )
+    return (
+        df.withColumn("decode_kind", kind)
+        .withColumn("decode_ok", ok)
+        .withColumn("decoded", decoded)
+        .withColumn("decoded_size", size.cast("long"))
     )

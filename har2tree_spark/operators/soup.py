@@ -18,7 +18,11 @@ stays identical.
 
   * soup_features  — tag sequence, lowercased; domhash = first 32 hex of
                      sha256 of the '|'-joined tag names (F26 contract);
-                     src/href attribute values (F18 resource surface).
+                     resource surface (F18) = the reference's full
+                     attribute set src/srcset/longdesc/poster/href/data
+                     (helper.py:356-426) PLUS the CSS arms — url(...)
+                     functions and @import url/string preludes
+                     (helper.py:300-353) — concatenated in that order.
   * js_redirects   — regex over the body for location.href / .replace /
                      .assign and meta-refresh url= targets (F19), then a
                      per-doc semi-join against the span-key universe: a
@@ -33,7 +37,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TAG_RE = "<([a-zA-Z][a-zA-Z0-9]*)"
-SRC_RE = '(?:src|href)="([^"]*)"'
+# the reference's attribute surface: img(src srcset longdesc) script(src)
+# video(poster src) audio/iframe/embed/source(src[set]) link(href)
+# object(data) — helper.py:356-426
+ATTR_RE = '\\b(?:src|srcset|longdesc|poster|href|data)="([^"]*)"'
+# CSS url() function tokens + @import url/string preludes (helper.py:300-353)
+CSS_URL_RE = "url\\(['\"]?([^'\")]+)['\"]?\\)"
+CSS_IMPORT_RE = "@import\\s+['\"]([^'\"]+)['\"]"
 JS_REDIRECT_RE = r"location\.(?:href\s*=|replace\(|assign\()\s*'([^']*)'"
 META_REFRESH_RE = 'http-equiv="refresh"[^>]*url=([^">]*)'
 
@@ -43,10 +53,17 @@ def _extract_all(body: Column, pattern: str) -> Column:
 
 
 def soup_features(df: DataFrame, body_col: str = "body") -> DataFrame:
-    """Adds (tags, domhash, res_refs, n_tags, n_res) for a markup column."""
+    """Adds (tags, domhash, res_refs, n_tags, n_res) for a markup column.
+    ``res_refs`` = attribute refs ++ CSS url() refs ++ @import refs, in
+    that deterministic order (the reference appends per category too)."""
     body = F.col(body_col)
     tags = F.transform(_extract_all(body, TAG_RE), F.lower)
     df = df.withColumn("tags", tags)
+    res = F.concat(
+        _extract_all(body, ATTR_RE),
+        _extract_all(body, CSS_URL_RE),
+        _extract_all(body, CSS_IMPORT_RE),
+    )
     return (
         df.withColumn(
             "domhash",
@@ -55,7 +72,7 @@ def soup_features(df: DataFrame, body_col: str = "body") -> DataFrame:
                 F.substring(F.sha2(F.concat_ws("|", "tags"), 256), 1, 32),
             ),
         )
-        .withColumn("res_refs", _extract_all(body, SRC_RE))
+        .withColumn("res_refs", res)
         .withColumn("n_tags", F.size("tags"))
         .withColumn("n_res", F.size("res_refs"))
     )

@@ -93,26 +93,62 @@ def test_decode_dispatch_roundtrip(spark):
         assert r.decode_ok
 
 
-def test_decode_unfixable_padding(spark):
+def test_decode_unfixable_padding_keeps_raw(spark):
+    # length % 4 == 1: no padding fixes it; the reference keeps the raw
+    # text on binascii.Error (nodes.py:290-294) — so does the engine now
     df = spark.createDataFrame(
         [("d", 0, "abcde")], "doc_id string, span_idx int, payload string"
-    )  # length % 4 == 1: no padding fixes it
+    )
     r = decode.decode_dispatch(df).collect()[0]
-    assert r.decode_kind == "base64_padfix" and not r.decode_ok and r.decoded == ""
+    assert r.decode_kind == "plain" and r.decode_ok and r.decoded == "abcde"
 
 
 def test_decode_partial_padding_not_repadded(spark):
     # 'QQQQQ=' (5 data chars + existing '='): repadding would build the
-    # invalid 'QQQQQ===' — the padfix arm must not fire; falls to plain
+    # invalid 'QQQQQ===' — the padfix arm must not fire. Under shape
+    # dispatch a k=v string is a form pair (key 'QQQQQ', empty value);
+    # the mimetype-driven reference would base64-retry instead —
+    # documented trade-off in decode.py
     df = spark.createDataFrame(
         [("d", 0, "QQQQQ="), ("d", 1, "QQ=Q")],
         "doc_id string, span_idx int, payload string",
     )
     got = {r.span_idx: r for r in decode.decode_dispatch(df).collect()}
-    assert got[0].decode_kind == "plain" and got[0].decode_ok
+    assert got[0].decode_kind == "form_urlencoded" and got[0].decode_ok
     assert got[0].decoded == "QQQQQ="
-    # interior '=' fails the base64 grammar entirely -> plain as before
-    assert got[1].decode_kind == "plain" and got[1].decoded == "QQ=Q"
+    assert got[1].decode_kind == "form_urlencoded" and got[1].decoded == "QQ=Q"
+
+
+def test_decode_new_arms(spark):
+    mp = (
+        '--bnd\ncontent-disposition: form-data; name="a"\n\nhello there'
+        '\n--bnd\ncontent-disposition: form-data; name="b"\n\nsecond part'
+        "\n--bnd--"
+    )
+    rows = [
+        ("d", 0, mp, "multipart", "hello there\nsecond part", True),
+        ("d", 1, "a=1&b=hello+world&c=%41", "form_urlencoded",
+         "a=1&b=hello world&c=%41", True),
+        # invalid escape '%4x' -> form gate fails -> plain
+        ("d", 2, "a=%4x", "plain", "a=%4x", True),
+        ("d", 3, '{"a":1}{"b":2}', "json_stream", '[{"a":1},{"b":2}]', True),
+        ("d", 4, '{"a":1}', "json", '{"a":1}', True),
+        ("d", 5, decode.GZIP_GARBLED_PREFIX + "junk", "gzip_garbled",
+         decode.GZIP_GARBLED_PREFIX + "junk", False),
+        # boundary line but no blank-line separator: multipart with 0 parts
+        ("d", 6, "--bnd\nnothing here", "multipart", "", False),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows],
+        "doc_id string, span_idx int, payload string",
+    )
+    got = {r.span_idx: r for r in decode.decode_dispatch(df).collect()}
+    for _, i, _, wkind, wdec, wok in rows:
+        r = got[i]
+        assert r.decode_kind == wkind, (i, r.decode_kind, wkind)
+        assert r.decoded == wdec, (i, r.decoded, wdec)
+        assert r.decode_ok == wok, (i, r.decode_ok, wok)
+        assert r.decoded_size == (0 if wdec == "" else len(wdec))
 
 
 def test_sidecar_never_fans_out(spark):

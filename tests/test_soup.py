@@ -62,3 +62,25 @@ def test_soup_is_narrow(spark):
     plan = soup.soup_features(_bodies(spark))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_soup_css_and_attribute_breadth(spark):
+    """F18 breadth (reference helper.py:300-426): CSS url()/@import arms and
+    the srcset/poster/longdesc/data attribute surface feed res_refs."""
+    rows = [
+        ("d1", 0, '<style>.a{background:url("k1.png")} '
+                  "@import 'k2.css'; b{x:url(k3.gif)}</style>"),
+        ("d1", 1, '<img srcset="k4 2x" longdesc="k5">'
+                  '<video poster="k6"></video><object data="k7"></object>'),
+        ("d1", 2, '<link href="k8"><source src="k9">'),
+        ("d1", 3, "@import url('k10.css');"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, span_idx int, body string")
+    got = {r.span_idx: r for r in soup.soup_features(df).collect()}
+    # attr refs first, then url() tokens, then @import strings
+    assert got[0].res_refs == ["k1.png", "k3.gif", "k2.css"]
+    assert got[1].res_refs == ["k4 2x", "k5", "k6", "k7"]
+    assert got[2].res_refs == ["k8", "k9"]
+    # @import url(...) form is captured exactly once (by the url() arm)
+    assert got[3].res_refs == ["k10.css"]
+    assert got[3].n_res == 1
