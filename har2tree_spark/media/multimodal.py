@@ -8,7 +8,17 @@ PIL/ffmpeg keeps every plan unchanged.
 
 Layout follows the reference's embedded-resource model (binary bodies keyed
 by digest, reference nodes.py:100, helper.py:85-127): blobs are hashed
-early and joins ship hashes, never payloads (SURVEY.md §7.3 point 6)."""
+early and joins ship hashes, never payloads (SURVEY.md §7.3 point 6).
+
+DIGEST DOMAIN CONTRACT: ``payload_sha256`` (and the ``source_sha256`` it
+feeds in frame sampling) is sha256 over the LOWERCASE-HEX ENCODING of the
+payload, not over the raw bytes — SQL engines' sha256 (the oracle dialect
+included) is VARCHAR-only, and hex is bijective with the bytes so dedup /
+join semantics are unchanged. An external system computing a raw-byte blob
+digest will NOT match this column; re-digest as
+``sha256(payload.hex().encode())`` to interoperate. All in-repo consumers
+(``sample_frames``, ``media_dedup``, the media gate oracles) share this
+domain."""
 
 from __future__ import annotations
 
@@ -29,6 +39,8 @@ MEDIA_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("duration_ms", T.LongType(), True),
+        # sha256 over the lowercase-hex ENCODING of payload (see the
+        # digest-domain contract in the module docstring)
         T.StructField("payload_sha256", T.StringType(), True),
     ]
 )
