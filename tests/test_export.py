@@ -60,3 +60,24 @@ def test_tree_json_laws(spark):
             seen.append(node["span_idx"])
             stack.extend(node["children"])
         assert len(seen) == row.n_nodes == len(set(seen))
+
+
+def test_tree_json_committed_golden(spark):
+    """Byte-equality against the COMMITTED fixture (tests/data/
+    golden_tree.json, seed=23 corpus): the co-drift tripwire the reference
+    pins with tests/capture_samples/iframe/to_json.json
+    (simple_test.py:243-257). Regenerating the fixture requires a
+    deliberate commit — engine+oracle drifting together cannot silently
+    pass this."""
+    import pathlib
+
+    fixture = json.loads(
+        (pathlib.Path(__file__).parent / "data" / "golden_tree.json").read_text()
+    )
+    docs = spark.createDataFrame(gen_docs(seed=23, n_docs=40), DOCUMENTS_SCHEMA)
+    feats = parse_documents(docs)
+    got = {r.doc_id: r for r in tree_json(resolve_rank(feats), feats).collect()}
+    assert set(got) == set(fixture)
+    for doc_id, want in fixture.items():
+        assert got[doc_id].n_nodes == want["n_nodes"], doc_id
+        assert got[doc_id].tree == want["tree"], doc_id
