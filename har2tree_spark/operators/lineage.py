@@ -37,10 +37,17 @@ def partition_lineage(
     wall_ms/completed_at, never in the identity."""
     if snapshot_id is None:
         snapshot_id = 0
+    # aggregate outputs (tile rollups etc.) carry no doc_id — record a
+    # null doc_count rather than refusing to checkpoint the stage
+    doc_count = (
+        F.count_distinct("doc_id")
+        if "doc_id" in df.columns
+        else F.lit(None).cast("long")
+    )
     return (
         df.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
-            F.count_distinct("doc_id").alias("doc_count"),
+            doc_count.alias("doc_count"),
             F.count("*").alias("span_count"),
         )
         .select(
