@@ -37,20 +37,37 @@ def read_documents_json(
     """(documents, quarantine) from JSON-lines at ``path``.
 
     documents matches DOCUMENTS_SCHEMA; quarantine is (raw) — one row per
-    malformed input line. Spark requires the corrupt column to be
-    materialized (cached or via a checkpointed pass) before filtering on
-    it; this keeps both frames consistent with ONE read."""
+    malformed (unparseable or doc_id-less) input line. The two frames
+    partition the input exactly.
+
+    TWO-PASS read, not one checkpointed PERMISSIVE read: the clean pass
+    uses DROPMALFORMED and streams straight into downstream plans (lazy,
+    prunable, no materialization — at 100 TB an eager checkpoint of the
+    raw input doubles ingest I/O before the first filter runs); the
+    quarantine pass re-reads with PERMISSIVE + the corrupt column and is
+    only ever executed if something consumes it. The corrupt-column
+    filter is legal here without materialization because the quarantine
+    projection references every data column (to_json of the full struct),
+    so Spark's JSON column pruning cannot reduce the parse to the corrupt
+    column alone."""
+    docs = (
+        spark.read.schema(DOCUMENTS_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+        .filter(F.col("doc_id").isNotNull())
+    )
     raw = (
         spark.read.schema(_read_schema())
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
-        .localCheckpoint()
     )
     bad = F.col(CORRUPT_COL).isNotNull() | F.col("doc_id").isNull()
-    docs = raw.filter(~bad).select([f.name for f in DOCUMENTS_SCHEMA.fields])
     quarantine = raw.filter(bad).select(
-        F.coalesce(F.col(CORRUPT_COL), F.to_json(F.struct("*"))).alias("raw")
+        F.coalesce(
+            F.col(CORRUPT_COL),
+            F.to_json(F.struct(*[F.col(f.name) for f in DOCUMENTS_SCHEMA.fields])),
+        ).alias("raw")
     )
     return docs, quarantine
 
