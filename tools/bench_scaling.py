@@ -99,8 +99,11 @@ def main() -> None:
         f"- local[{r['parallelism']}]: {r['wall_s']}s, {r['docs_per_sec']} docs/s"
         for r in runs_small + runs_big
     )
+    # standalone report: BENCH/BASELINE.md carries curated analysis beyond
+    # this table now, so the raw run lands next to it and the table is
+    # merged into BASELINE.md by hand
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as fh:
+    with open(f"{REPO}/BENCH/SCALING_RUN.md", "w") as fh:
         fh.write(
             f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
