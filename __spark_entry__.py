@@ -623,7 +623,7 @@ def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from har2tree_spark.operators import decode  # noqa: PLC0415
 
     f = _live(spark, sf_dir)
-    m = F.pmod(F.col("span_idx"), 10)
+    m = F.pmod(F.col("span_idx"), 11)
     b64 = F.base64(F.col("text").cast("binary"))
     t1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
     t2 = F.split_part(F.col("text"), F.lit(" "), F.lit(2))
@@ -646,10 +646,12 @@ def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(m == 7, F.concat(F.lit("k="), F.translate(F.col("text"), " ", "+")))
         .when(m == 8, F.concat(F.lit(decode.GZIP_GARBLED_PREFIX), F.col("text")))
+        .when(
+            m == 9,
+            F.concat(F.lit('{"a":"'), t1, F.lit('"}{"b":"'), t2, F.lit('"}')),
+        )
         .otherwise(
-            F.concat(
-                F.lit('{"a":"'), t1, F.lit('"}{"b":"'), t2, F.lit('"}')
-            )
+            F.concat(F.lit('<r a="'), t1, F.lit('"><v>'), t2, F.lit("</v></r>"))
         )
     )
     out = decode.decode_dispatch(f.withColumn("payload", pay))
@@ -2121,7 +2123,7 @@ def oracle_sql() -> dict[str, str]:
     out["decode_dispatch"] = f"""{cte},
       pay AS (
         SELECT doc_id, span_idx,
-               CASE span_idx % 10
+               CASE span_idx % 11
                  WHEN 0 THEN 'data:text/plain;base64,' || to_base64(encode(text))
                  WHEN 1 THEN to_base64(encode(text))
                  WHEN 2 THEN regexp_replace(to_base64(encode(text)), '=+$', '')
@@ -2137,8 +2139,10 @@ def oracle_sql() -> dict[str, str]:
                              || chr(10) || '--bnd--'
                  WHEN 7 THEN 'k=' || replace(text, ' ', '+')
                  WHEN 8 THEN chr(31) || chr(65533) || chr(8) || text
-                 ELSE '{{"a":"' || split_part(text, ' ', 1)
+                 WHEN 9 THEN '{{"a":"' || split_part(text, ' ', 1)
                       || '"}}{{"b":"' || split_part(text, ' ', 2) || '"}}'
+                 ELSE '<r a="' || split_part(text, ' ', 1) || '"><v>'
+                      || split_part(text, ' ', 2) || '</v></r>'
                END AS p
         FROM live
       ),
@@ -2172,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
                   WHEN formish THEN 'form_urlencoded'
                   WHEN jstream THEN 'json_stream'
                   WHEN p LIKE '{{%' OR p LIKE '[%' THEN 'json'
+                  WHEN p LIKE '<%' THEN 'xml'
                   ELSE 'plain' END AS decode_kind,
              CASE WHEN garbled THEN FALSE
                   WHEN p LIKE 'data:%' AND hdr LIKE '%;base64%'

@@ -43,6 +43,8 @@ empty form value). Arms, in dispatch priority:
                     (nodes.py:344-360 application/x-json-stream; exact for
                     flat payloads whose strings don't contain '}{')
   json           -> payload as-is, tagged json         (F9 json arm)
+  xml            -> markup payload kept as-is, tagged  (nodes.py:414-427
+                    application/atom+xml: kept raw when no JSON embeds)
   plain          -> payload as-is
 
 Every decode is regexp-gated so the JVM decoder only ever sees
@@ -59,13 +61,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-B64_RE = "^[A-Za-z0-9+/]+={0,2}$"
-B64_NOPAD_RE = "^[A-Za-z0-9+/]+$"
-HEX_RE = "^[0-9a-fA-F]+$"
+# anchors are \z (absolute end of input), NOT $: Java's $ also matches
+# before a trailing newline, so 'QUJD\n' would pass a $-anchored base64
+# gate and feed an invalid character into the ANSI decoder (found by the
+# never-throws fuzz test). RE2 — the oracle dialect — gives $ the \z
+# semantics already, so the SQL mirrors keep their $ anchors.
+B64_RE = "^[A-Za-z0-9+/]+={0,2}\\z"
+B64_NOPAD_RE = "^[A-Za-z0-9+/]+\\z"
+HEX_RE = "^[0-9a-fA-F]+\\z"
 GZIP_GARBLED_PREFIX = "\x1f�\x08"
 MULTIPART_RE = "^--[A-Za-z0-9]+\n"
 MULTIPART_PART_RE = "(?s)\n\n(.*?)\n--"
-FORM_RE = "^[A-Za-z0-9_.~%+-]+=[A-Za-z0-9_.~%+&=-]*$"
+FORM_RE = "^[A-Za-z0-9_.~%+-]+=[A-Za-z0-9_.~%+&=-]*\\z"
 JSON_STREAM_RE = "\\}\\{"
 
 
@@ -99,6 +106,7 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
     jsonish = p.startswith("{") | p.startswith("[")
     json_streamish = p.startswith("{") & p.rlike(JSON_STREAM_RE)
+    xmlish = p.startswith("<")
 
     kind = (
         F.when(p == "", "empty")
@@ -112,6 +120,7 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(formish, "form_urlencoded")
         .when(json_streamish, "json_stream")
         .when(jsonish, "json")
+        .when(xmlish, "xml")
         .otherwise("plain")
     )
     decoded = (

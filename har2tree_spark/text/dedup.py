@@ -22,7 +22,7 @@ the hot-cell analogue) cannot produce a quadratic pair blowup.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -31,6 +31,7 @@ def exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     members_cap: int = 100,
+    bounded_buffer: bool = False,
 ) -> DataFrame:
     """Groups by content digest; keeper = min id per group.
 
@@ -40,15 +41,34 @@ def exact_dedup(
     member id — the slice bounds the emitted row width (and the shuffled
     bytes) to O(members_cap). The collect_list aggregation buffer is still
     O(group) transiently on one reducer (~80 MB at 10^7 longs — spill-safe,
-    not row-width-unsafe); callers that expect adversarially larger groups
-    should pre-cap with a row_number window over (content_hash, id) at the
-    cost of one extra sort-shuffle. Pass ``members_cap=None`` for the
-    exact unbounded list (small corpora only)."""
+    not row-width-unsafe); ``bounded_buffer=True`` switches to a
+    row_number-window pre-cap whose state is O(members_cap) everywhere
+    (result-identical, pinned by pytest) at the cost of one extra
+    sort-shuffle — the right trade for corpora with adversarially larger
+    duplicate groups. Pass ``members_cap=None`` for the exact unbounded
+    list (small corpora only)."""
+    digest = F.md5(F.col(text_col))
+    if bounded_buffer and members_cap is not None:
+        h = df.select(
+            digest.alias("content_hash"), F.col(id_col).alias("_mid")
+        )
+        counts = h.groupBy("content_hash").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("_mid").alias("keeper"),
+        )
+        w = Window.partitionBy("content_hash").orderBy("_mid")
+        capped = (
+            h.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= members_cap)
+            .groupBy("content_hash")
+            .agg(F.sort_array(F.collect_list("_mid")).alias("members"))
+        )
+        return counts.join(capped, "content_hash")
     members = F.sort_array(F.collect_list(id_col))
     if members_cap is not None:
         members = F.slice(members, 1, members_cap)
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        df.groupBy(digest.alias("content_hash"))
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.min(id_col).alias("keeper"),

@@ -178,3 +178,42 @@ def test_header_lookup_and_ref_cleanup(spark):
     got = cdf.select(F.col("r"), clean.alias("c"), reason.alias("why")).collect()
     for row, (_, wc, ww) in zip(got, cases):
         assert row.c == wc and row.why == ww, (row.r, row.c, row.why)
+
+
+def test_decode_dispatch_never_throws_fuzz(spark):
+    """Totality invariant: under ANSI mode the 13-arm cascade must decode
+    ANY string without throwing, return a kind from the closed set, and
+    keep (decoded, decode_ok, decoded_size) non-null with size==0 iff
+    decoded=='' (the reference wraps every arm in try/except; this engine
+    proves the same property by regexp-gating every decoder)."""
+    import random
+    import string
+
+    rng = random.Random(1234)
+    alphabet = (
+        string.ascii_letters + string.digits + "+/=%&.~-_ \t{}[]<>\"'\\:;,()\n"
+    )
+    payloads = ["".join(rng.choices(alphabet, k=rng.randrange(0, 40))) for _ in range(500)]
+    payloads += [
+        "", "=", "==", "===", "%", "%%", "%4", "%4x", "a=%", "k=",
+        "data:", "data:;base64,", "data:;base64,!!!", "data:text/plain,x",
+        "--\n", "--b\n", "--b\n\n\n--", "--bnd\nx\n\ny\n--bnd--",
+        "{", "}{", "[", "]", "<", "<>", "<?xml version=\"1.0\"?><r/>",
+        "QQ=Q", "QQ=", "QQQQQ=", "abcde", "deadbeef", "DEADBEEF0", "\x1f\ufffd\x08",
+        "\x00\x01", "a&b", "a=b&c", "k=v&k=v", "{\"a\":1}{", "ab+cd",
+    ]
+    kinds = {
+        "empty", "gzip_garbled", "data_uri_b64", "data_uri_raw", "multipart",
+        "hex", "base64", "base64_padfix", "form_urlencoded", "json_stream",
+        "json", "xml", "plain",
+    }
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "span_idx int, payload string"
+    )
+    rows = decode.decode_dispatch(df).collect()  # must not raise
+    assert len(rows) == len(payloads)
+    for r in rows:
+        assert r.decode_kind in kinds, (r.payload, r.decode_kind)
+        assert r.decoded is not None and r.decode_ok is not None
+        assert r.decoded_size is not None
+        assert (r.decoded_size == 0) == (r.decoded == ""), (r.payload, r.decoded)

@@ -157,3 +157,20 @@ def test_exact_dedup_members_bounded(spark):
     assert row.n_docs == 100_000
     assert row.keeper == 0
     assert list(row.members) == list(range(100))
+
+
+def test_exact_dedup_bounded_buffer_identical(spark):
+    """bounded_buffer=True (O(cap) state everywhere) must be
+    result-identical to the slice path, including the members order."""
+    rows = [(i, f"text {i % 7}") for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r.content_hash: (r.n_docs, r.keeper, list(r.members))
+        for r in dedup.exact_dedup(d, members_cap=10).collect()
+    }
+    b = {
+        r.content_hash: (r.n_docs, r.keeper, list(r.members))
+        for r in dedup.exact_dedup(d, members_cap=10, bounded_buffer=True).collect()
+    }
+    assert a == b
+    assert all(len(v[2]) == 10 for v in a.values())
