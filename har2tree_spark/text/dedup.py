@@ -154,6 +154,10 @@ def minhash_lsh_pairs(
     #    referenced more than once).
     # localCheckpoint then materializes signatures once for the banding,
     # the bucket-size guard, and both sides of the pair self-join.
+    # (An explode -> md5 -> 16-min-aggregates formulation was A/B-measured
+    # in round 4 and is ~2x SLOWER at sf0.1 — the extra groupBy shuffle of
+    # the exploded shingles costs more than the per-element HOF evaluation
+    # saves. Keep the shuffle-free array form.)
     par = df.sparkSession.sparkContext.defaultParallelism
     sig = (
         df.repartition(par)
