@@ -35,7 +35,7 @@ def ref_cleanup(ref: Column) -> tuple[Column, Column]:
     # strip one layer of wrapping quotes (the reference strips quotes and
     # backslashes that crawlers leave around attribute values)
     unq = F.when(
-        base.rlike("^\".*\"$") | base.rlike("^'.*'$"),
+        base.rlike("^\".*\"\\z") | base.rlike("^'.*'\\z"),
         F.trim(F.substring(base, 2, F.length(base) - 2)),
     ).otherwise(base)
     # truncate at the first internal whitespace (mangled concatenations)

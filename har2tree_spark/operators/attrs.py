@@ -170,14 +170,14 @@ def key_class(features: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     cls = (
         F.when(ref == "", "none")
         .when(ref.rlike(KEY_TOKEN_RE), "canonical")
-        .when(ref.rlike("^[0-9]+$"), "numeric")
+        .when(ref.rlike("^[0-9]+\\z"), "numeric")
         .when(ref.rlike("^xn--"), "encoded")
         .otherwise("other")
     )
     decoded = (
         F.when(ref == "", "")
         .when(ref.rlike(KEY_TOKEN_RE), ref)
-        .when(ref.rlike("^[0-9]+$"), F.concat(F.lit("k"), ref))
+        .when(ref.rlike("^[0-9]+\\z"), F.concat(F.lit("k"), ref))
         .when(ref.rlike("^xn--"), F.reverse(F.substring(ref, 5, 1 << 20)))
         .otherwise(F.lower(ref))
     )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from har2tree_spark.geo import grid
 
-KEY_TOKEN_RE = "^k(0|[1-9][0-9]{0,14})$"  # canonical: no leading zeros, <=15 digits
+KEY_TOKEN_RE = "^k(0|[1-9][0-9]{0,14})\\z"  # canonical: no leading zeros, <=15 digits; \z anchor (Java $ also matches before a trailing newline — RE2/pycascade alignment)
 # (key<->int64 bijection that also survives a float64 round trip: < 2^53)
 
 # integer kind codes for the Arrow hot path (object/string columns dominate

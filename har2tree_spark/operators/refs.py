@@ -32,7 +32,7 @@ def ref_variants(ref: Column) -> Column:
     nofrag = F.split_part(base, F.lit("#"), F.lit(1))
     lower = F.lower(nofrag)
     nozero = F.regexp_replace(lower, "^k0+", "k")
-    prefixed = F.when(lower.rlike("^[0-9]+$"), F.concat(F.lit("k"), lower)).otherwise(
+    prefixed = F.when(lower.rlike("^[0-9]+\\z"), F.concat(F.lit("k"), lower)).otherwise(
         lower
     )
     return F.array(base, nofrag, lower, nozero, prefixed)

@@ -30,7 +30,7 @@ from har2tree_spark.geo import grid
 from har2tree_spark.geo.geometry import REGION_RADIUS_DEG, hex_polygon, points_in_polygon
 from har2tree_spark.schema import PRIORITY
 
-KEY_RE = re.compile(r"^k(0|[1-9][0-9]{0,14})$")  # canonical form only (matches the engine)
+KEY_RE = re.compile(r"^k(0|[1-9][0-9]{0,14})\Z")  # canonical form only (matches the engine, \z-anchored)
 MAX_RING = 4
 DANGLING_CAP = 1000
 
