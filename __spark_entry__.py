@@ -623,7 +623,7 @@ def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from har2tree_spark.operators import decode  # noqa: PLC0415
 
     f = _live(spark, sf_dir)
-    m = F.pmod(F.col("span_idx"), 11)
+    m = F.pmod(F.col("span_idx"), 12)
     b64 = F.base64(F.col("text").cast("binary"))
     t1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
     t2 = F.split_part(F.col("text"), F.lit(" "), F.lit(2))
@@ -650,8 +650,18 @@ def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             m == 9,
             F.concat(F.lit('{"a":"'), t1, F.lit('"}{"b":"'), t2, F.lit('"}')),
         )
+        .when(
+            m == 10,
+            F.concat(F.lit('<r a="'), t1, F.lit('"><v>'), t2, F.lit("</v></r>")),
+        )
+        # urlsafe base64: '?????' suffix guarantees an aligned '???' 3-byte
+        # group, whose encoding 'Pz8/' forces a '/' -> '_' after translation
         .otherwise(
-            F.concat(F.lit('<r a="'), t1, F.lit('"><v>'), t2, F.lit("</v></r>"))
+            F.translate(
+                F.base64(F.concat(F.col("text"), F.lit("?????")).cast("binary")),
+                "+/",
+                "-_",
+            )
         )
     )
     out = decode.decode_dispatch(f.withColumn("payload", pay))
@@ -2123,7 +2133,7 @@ def oracle_sql() -> dict[str, str]:
     out["decode_dispatch"] = f"""{cte},
       pay AS (
         SELECT doc_id, span_idx,
-               CASE span_idx % 11
+               CASE span_idx % 12
                  WHEN 0 THEN 'data:text/plain;base64,' || to_base64(encode(text))
                  WHEN 1 THEN to_base64(encode(text))
                  WHEN 2 THEN regexp_replace(to_base64(encode(text)), '=+$', '')
@@ -2141,8 +2151,9 @@ def oracle_sql() -> dict[str, str]:
                  WHEN 8 THEN chr(31) || chr(65533) || chr(8) || text
                  WHEN 9 THEN '{{"a":"' || split_part(text, ' ', 1)
                       || '"}}{{"b":"' || split_part(text, ' ', 2) || '"}}'
-                 ELSE '<r a="' || split_part(text, ' ', 1) || '"><v>'
+                 WHEN 10 THEN '<r a="' || split_part(text, ' ', 1) || '"><v>'
                       || split_part(text, ' ', 2) || '</v></r>'
+                 ELSE translate(to_base64(encode(text || '?????')), '+/', '-_')
                END AS p
         FROM live
       ),
@@ -2157,6 +2168,12 @@ def oracle_sql() -> dict[str, str]:
                (regexp_matches(p, '{b64_re}') AND length(p) % 4 = 0) AS b64ish,
                (regexp_matches(p, '{b64_nopad_re}') AND length(p) % 4 <> 1
                 AND length(p) % 4 <> 0) AS b64_fixable,
+               ((p LIKE '%-%' OR p LIKE '%\\_%' ESCAPE '\\')
+                AND regexp_matches(p, '^[A-Za-z0-9_-]+={{0,2}}$')
+                AND length(p) % 4 = 0) AS u_padded,
+               ((p LIKE '%-%' OR p LIKE '%\\_%' ESCAPE '\\')
+                AND regexp_matches(p, '^[A-Za-z0-9_-]+$')
+                AND length(p) % 4 <> 1 AND length(p) % 4 <> 0) AS u_fixable,
                (regexp_matches(p, '{form_re}') AND NOT contains(
                   regexp_replace(p, '%[0-9A-Fa-f]{{2}}', '', 'g'), '%'))
                  AS formish,
@@ -2173,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
                   WHEN hexish THEN 'hex'
                   WHEN b64ish THEN 'base64'
                   WHEN b64_fixable THEN 'base64_padfix'
+                  WHEN u_padded OR u_fixable THEN 'base64_url'
                   WHEN formish THEN 'form_urlencoded'
                   WHEN jstream THEN 'json_stream'
                   WHEN p LIKE '{{%' OR p LIKE '[%' THEN 'json'
@@ -2194,6 +2212,10 @@ def oracle_sql() -> dict[str, str]:
                   WHEN b64ish THEN decode(from_base64(p))
                   WHEN b64_fixable
                     THEN decode(from_base64(p || repeat('=', (4 - length(p) % 4) % 4)))
+                  WHEN u_padded THEN decode(from_base64(translate(p, '-_', '+/')))
+                  WHEN u_fixable
+                    THEN decode(from_base64(translate(p, '-_', '+/')
+                                || repeat('=', (4 - length(p) % 4) % 4)))
                   WHEN formish THEN replace(p, '+', ' ')
                   WHEN jstream
                     THEN '[' || regexp_replace(p, '\\}}\\{{', '}},{{', 'g') || ']'

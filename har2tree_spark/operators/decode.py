@@ -29,7 +29,16 @@ empty form value). Arms, in dispatch priority:
   base64 padfix  -> unbase64 after re-padding a pad-free payload (F10
                     blind-retry; an unfixable length % 4 == 1 payload falls
                     through to the raw arms — the reference's binascii.Error
-                    -> keep-raw fallback, nodes.py:290-294)
+                    -> keep-raw fallback, nodes.py:290-294. The reference
+                    blindly appends b'===' and lets the decoder discard the
+                    excess, nodes.py:122-124; computing the exact pad is
+                    outcome-identical for every fixable length)
+  base64 urlsafe -> '-_' alphabet translated to '+/' then unbase64
+                    (nodes.py:126-128 altchars branch), incl. the same
+                    pad-fix retry; must dispatch before the form arm ('=': a
+                    urlsafe payload with trailing padding also parses as a
+                    k=v pair, and the reference's blind b64 attempt runs
+                    before any mimetype dispatch)
   form-urlencoded-> '+' -> space normalization         (nodes.py:307-323;
                     k=v&k=v grammar with valid %XX escapes. Full
                     percent-decoding is a one-line swap to F.url_decode —
@@ -68,6 +77,7 @@ from pyspark.sql import functions as F
 # semantics already, so the SQL mirrors keep their $ anchors.
 B64_RE = "^[A-Za-z0-9+/]+={0,2}\\z"
 B64_NOPAD_RE = "^[A-Za-z0-9+/]+\\z"
+B64_URL_RE = "^[A-Za-z0-9_-]+={0,2}\\z"
 HEX_RE = "^[0-9a-fA-F]+\\z"
 GZIP_GARBLED_PREFIX = "\x1f�\x08"
 MULTIPART_RE = "^--[A-Za-z0-9]+\n"
@@ -99,6 +109,18 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.length(p) % 4 != 0
     )
     repadded = F.concat(p, F.repeat(F.lit("="), (4 - F.length(p) % 4) % 4))
+    # urlsafe alphabet ('-'/'_' present distinguishes it from plain base64,
+    # which already won above); same padded/fixable split as the +/ arm
+    has_alt = F.contains(p, F.lit("-")) | F.contains(p, F.lit("_"))
+    std = F.translate(p, "-_", "+/")
+    u_padded = p.rlike(B64_URL_RE) & has_alt & (F.length(p) % 4 == 0)
+    u_fixable = (
+        p.rlike("^[A-Za-z0-9_-]+\\z")
+        & has_alt
+        & (F.length(p) % 4 != 1)
+        & (F.length(p) % 4 != 0)
+    )
+    u_repadded = F.concat(std, F.repeat(F.lit("="), (4 - F.length(p) % 4) % 4))
     # form grammar + every '%' must open a valid %XX escape (no lookahead:
     # strip valid escapes, then any surviving '%' is invalid)
     formish = p.rlike(FORM_RE) & ~F.contains(
@@ -117,6 +139,7 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(hexish, "hex")
         .when(b64ish, "base64")
         .when(b64_fixable, "base64_padfix")
+        .when(u_padded | u_fixable, "base64_url")
         .when(formish, "form_urlencoded")
         .when(json_streamish, "json_stream")
         .when(jsonish, "json")
@@ -135,6 +158,8 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(hexish, F.unhex(p).cast("string"))
         .when(b64ish, _unb64(p))
         .when(b64_fixable, _unb64(repadded))
+        .when(u_padded, _unb64(std))
+        .when(u_fixable, _unb64(u_repadded))
         .when(formish, F.translate(p, "+", " "))
         .when(
             json_streamish,

@@ -204,8 +204,8 @@ def test_decode_dispatch_never_throws_fuzz(spark):
     ]
     kinds = {
         "empty", "gzip_garbled", "data_uri_b64", "data_uri_raw", "multipart",
-        "hex", "base64", "base64_padfix", "form_urlencoded", "json_stream",
-        "json", "xml", "plain",
+        "hex", "base64", "base64_padfix", "base64_url", "form_urlencoded",
+        "json_stream", "json", "xml", "plain",
     }
     df = spark.createDataFrame(
         [(i, p) for i, p in enumerate(payloads)], "span_idx int, payload string"
@@ -217,3 +217,23 @@ def test_decode_dispatch_never_throws_fuzz(spark):
         assert r.decoded is not None and r.decode_ok is not None
         assert r.decoded_size is not None
         assert (r.decoded_size == 0) == (r.decoded == ""), (r.payload, r.decoded)
+
+
+def test_decode_urlsafe_base64(spark):
+    """Reference nodes.py:126-128: '-'/'_' altchars emulate urlsafe b64.
+    'az8_aw==' is urlsafe for b'k??k'; the pad-free form re-pads first."""
+    rows = [
+        ("d", 0, "az8_aw==", "base64_url", "k??k"),
+        ("d", 1, "az8_aw", "base64_url", "k??k"),  # pad-fix retry
+        # '-'/'_'-free strings stay on the standard arms
+        ("d", 2, "az8law==", "base64", None),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows],
+        "doc_id string, span_idx int, payload string",
+    )
+    got = {r.span_idx: r for r in decode.decode_dispatch(df).collect()}
+    assert got[0].decode_kind == "base64_url" and got[0].decoded == "k??k"
+    assert got[1].decode_kind == "base64_url" and got[1].decoded == "k??k"
+    assert got[2].decode_kind == "base64"
+    assert all(got[i].decode_ok for i in range(3))
