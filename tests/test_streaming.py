@@ -125,3 +125,41 @@ def test_stateful_doc_progress(spark):
             .collect()
         }
         assert got == want
+
+
+def test_incremental_pipeline_restart_exactly_once(spark):
+    """Checkpoint restart law: stop after draining the first files, add
+    more input, restart with the SAME checkpoint — the already-processed
+    files must not reprocess (no duplicate rows) and the final output must
+    equal the batch result over everything. This is the streaming
+    counterpart of the batch kill/resume demo (tools/resume_demo.py)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        a = gen_documents_df(spark, 60, seed=21)
+        a.repartition(2).write.parquet(f"{tmp}/in")
+        stream = ingest.stream_documents(spark, f"{tmp}/in", max_files=1)
+        q = ingest.incremental_pipeline(stream, f"{tmp}/out", f"{tmp}/ckpt").start()
+        q.awaitTermination(120)
+        first = spark.read.parquet(f"{tmp}/out/join_result").count()
+        assert first > 0
+
+        # late-arriving input, then restart from the same checkpoint
+        b = gen_documents_df(spark, 40, seed=22).withColumn(
+            "doc_id", F.concat(F.lit("late-"), F.col("doc_id"))
+        )
+        b.repartition(2).write.parquet(f"{tmp}/in2")
+        import os
+        import shutil
+
+        for name in os.listdir(f"{tmp}/in2"):
+            if name.endswith(".parquet"):
+                shutil.copy(f"{tmp}/in2/{name}", f"{tmp}/in/{name}")
+        stream2 = ingest.stream_documents(spark, f"{tmp}/in", max_files=1)
+        q2 = ingest.incremental_pipeline(stream2, f"{tmp}/out", f"{tmp}/ckpt").start()
+        q2.awaitTermination(120)
+
+        got = spark.read.parquet(f"{tmp}/out/join_result")
+        want = resolve_exact(parse_documents(spark.read.parquet(f"{tmp}/in")))
+        assert got.count() == want.count()  # no reprocessing duplicates
+        key = ["doc_id", "span_idx", "parent_idx", "join_kind"]
+        assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+        assert got.groupBy("doc_id", "span_idx").count().filter("count > 1").count() == 0
