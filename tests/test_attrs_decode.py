@@ -237,3 +237,49 @@ def test_decode_urlsafe_base64(spark):
     assert got[1].decode_kind == "base64_url" and got[1].decoded == "k??k"
     assert got[2].decode_kind == "base64"
     assert all(got[i].decode_ok for i in range(3))
+
+
+def test_scalar_families_total_on_arbitrary_text(spark):
+    """Totality fuzz across the scalar families: key_class, ref_cleanup,
+    quality features, fingerprint and soup_features must process ANY
+    string input without throwing and return fully non-null classification
+    columns (the decode fuzz caught a real ANSI crash; this pins the same
+    never-throws property for the other regexp-gated families)."""
+    import random
+    import string
+
+    from har2tree_spark.operators import soup
+    from har2tree_spark.text import quality
+
+    rng = random.Random(99)
+    alphabet = string.printable + "é😀 "
+    vals = ["".join(rng.choices(alphabet, k=rng.randrange(0, 60))) for _ in range(300)]
+    vals += ["", " ", "\n", "k" + "9" * 30, "xn--", '"', "'", "about:", "<", ">"]
+
+    f = spark.createDataFrame(
+        [("d", i, 0, 1, v) for i, v in enumerate(vals)],
+        "doc_id string, span_idx int, offset int, n_live int, media_ref string",
+    )
+    kc = attrs.key_class(f).collect()
+    assert len(kc) == len(vals)
+    assert all(r.ref_class in {"none", "canonical", "numeric", "encoded", "other"} for r in kc)
+
+    cdf = spark.createDataFrame([(v,) for v in vals], "r string")
+    clean, reason = HF.ref_cleanup(F.col("r"))
+    rc = cdf.select(clean.alias("c"), reason.alias("why")).collect()
+    assert len(rc) == len(vals)
+
+    d = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, text string"
+    )
+    q = quality.quality_features(d).collect()
+    assert all(r.pred_lang is not None and r.quality_score is not None for r in q)
+    fp = quality.fingerprint(d).collect()
+    assert all(r.fingerprint is not None for r in fp)
+
+    b = spark.createDataFrame(
+        [("d", i, v) for i, v in enumerate(vals)],
+        "doc_id string, span_idx int, body string",
+    )
+    sf = soup.soup_features(b).collect()
+    assert all(r.n_tags is not None and r.n_res is not None for r in sf)
