@@ -48,9 +48,11 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint blocks."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _FEATURES_CACHE:
-        # evict entries from dead sessions: a long-lived driver process
-        # cycling SparkSessions must not pin checkpointed frames (and their
-        # block-manager storage) under stale applicationIds forever
+        # evict entries from dead sessions: dropping the dict entry unpins
+        # the Python reference so the checkpointed frame becomes
+        # GC-reclaimable (ContextCleaner frees live blocks lazily; a
+        # stopped context's blocks are already gone) — eviction itself
+        # does not free storage, it stops pinning it forever
         for stale in [k for k in _FEATURES_CACHE if k[0] != key[0]]:
             del _FEATURES_CACHE[stale]
         docs = events_spans.documents_from_events(spark, sf_dir)

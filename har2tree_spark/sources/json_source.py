@@ -40,29 +40,38 @@ def read_documents_json(
     malformed (unparseable or doc_id-less) input line. The two frames
     partition the input exactly.
 
-    TWO-PASS read, not one checkpointed PERMISSIVE read: the clean pass
-    uses DROPMALFORMED and streams straight into downstream plans (lazy,
-    prunable, no materialization — at 100 TB an eager checkpoint of the
-    raw input doubles ingest I/O before the first filter runs); the
-    quarantine pass re-reads with PERMISSIVE + the corrupt column and is
-    only ever executed if something consumes it. The corrupt-column
-    filter is legal here without materialization because the quarantine
-    projection references every data column (to_json of the full struct),
-    so Spark's JSON column pruning cannot reduce the parse to the corrupt
-    column alone."""
-    docs = (
-        spark.read.schema(DOCUMENTS_SCHEMA)
-        .option("mode", "DROPMALFORMED")
-        .json(path)
-        .filter(F.col("doc_id").isNotNull())
-    )
+    ONE lazy PERMISSIVE scan feeds both frames (r4 ADVICE): the clean
+    frame and the quarantine are filters over the same read, so they
+    share one file index — the file set is listed once and cannot
+    desynchronize between the frames, and no eager checkpoint is needed
+    (at 100 TB an eager checkpoint of the raw input doubles ingest I/O
+    before the first filter runs).
+
+    Parse pin: under Spark's JSON column pruning, malformed-ness is only
+    detected in the columns a query actually parses, so a record with a
+    type-mismatched field outside the projection would be silently kept
+    by a narrow query. The ``bad`` predicate therefore references every
+    data column via a constant-false ``xxhash64(*cols) < LONG_MIN`` term:
+    it forces the scan's required schema to the full document schema
+    (malformed-ness is projection-independent; docs ∪ quarantine always
+    exactly partitions the input) at the cost of parsing all columns even
+    for narrow queries — for JSON that trade is right, because line
+    tokenization dominates and the per-column parse saving is small
+    relative to silently-shifting row sets. Parquet remains the prunable
+    fast path; this source is the ingest/quarantine boundary."""
     raw = (
         spark.read.schema(_read_schema())
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
-    bad = F.col(CORRUPT_COL).isNotNull() | F.col("doc_id").isNull()
+    data_cols = [F.col(f.name) for f in DOCUMENTS_SCHEMA.fields]
+    # Constant-false, but Catalyst cannot fold it (non-foldable children,
+    # no range analysis on hash outputs) — it survives to the scan filter
+    # and pins the JSON required schema to every data column.
+    parse_pin = F.xxhash64(*data_cols) < F.lit(-(2**63))
+    bad = F.col(CORRUPT_COL).isNotNull() | F.col("doc_id").isNull() | parse_pin
+    docs = raw.filter(~bad).select(*[f.name for f in DOCUMENTS_SCHEMA.fields])
     quarantine = raw.filter(bad).select(
         F.coalesce(
             F.col(CORRUPT_COL),
