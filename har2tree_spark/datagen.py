@@ -88,7 +88,17 @@ def _make_doc(rng: np.random.Generator, doc_index: int, cfg: GenConfig) -> list[
                 kinds[i] = str(rng.choice(_CONTENT_KINDS))
         elif link == "initiator":
             kinds[i] = "js"
-            media[i] = target_key
+            # F21: some initiators arrive as call-stack walks rather than
+            # flat pointers (variant chosen deterministically so the RNG
+            # draw sequence — and every other span in the corpus — is
+            # unchanged vs the pre-stack generator)
+            v = (doc_index + i) % 7
+            if v == 0:
+                media[i] = f"stack:|{target_key}"  # empty top level, walk down
+            elif v == 1:
+                media[i] = f"stack:{target_key} k0"  # level 0, extra frame ignored
+            else:
+                media[i] = target_key
         elif link == "referer":
             kinds[i] = str(rng.choice([k for k in _CONTENT_KINDS if k != "js"]))
             media[i] = target_key
@@ -192,6 +202,20 @@ def scenario_docs() -> list[dict]:
             "spans": [
                 {"kind": "html", "text": "k30", "media_ref": "", "offset": 0},
                 {"kind": "js", "text": "k31", "media_ref": "k30", "offset": 10},
+            ],
+        }
+    )
+    # initiator via call-stack walk (reference nodes.py:643-649): k36
+    # resolves one level down, k37 at level 0 (extra frames ignored),
+    # k38's stack is unresolvable -> spatial fallback
+    docs.append(
+        {
+            "doc_id": "scn-initiator-stack",
+            "spans": [
+                {"kind": "html", "text": "k35", "media_ref": "", "offset": 0},
+                {"kind": "js", "text": "k36", "media_ref": "stack:|k35 k0", "offset": 10},
+                {"kind": "js", "text": "k37", "media_ref": "stack:k35", "offset": 20},
+                {"kind": "js", "text": "k38", "media_ref": "stack:||", "offset": 30},
             ],
         }
     )

@@ -54,6 +54,30 @@ def _span_key(s: Column) -> Column:
     return F.when(tok.rlike(KEY_TOKEN_RE), tok)
 
 
+_STACK_PREFIX = "stack:"
+
+
+def _resolve_media(m: Column) -> Column:
+    """F21 recursive initiator stack walk, pre-flattened at parse.
+
+    The reference resolves a script initiator by recursively walking
+    ``_initiator.stack.parent`` to the first stack level that has any
+    callFrames and taking that level's FIRST frame URL (reference
+    nodes.py:602-616,643-649); an empty first-frame URL resolves to no
+    initiator WITHOUT walking deeper levels. Re-grounded grammar:
+    ``media_ref = 'stack:<lvl0>|<lvl1>|...'`` where each ``|``-separated
+    level is a space-separated callFrame-URL list. The resolved pointer is
+    the first token of the first non-empty level, or '' (no pointer) when
+    every level is empty — so unresolvable stacks fall through to the
+    spatial fallback exactly like the reference's ``url_stack is None``
+    path. Non-stack media_ref passes through unchanged, and the walk is a
+    pure JVM expression (no per-row Python, no recursion at runtime)."""
+    body = F.substr(m, F.lit(len(_STACK_PREFIX) + 1))
+    first_level = F.get(F.filter(F.split(body, "\\|"), lambda lvl: lvl != ""), 0)
+    resolved = F.coalesce(F.split_part(first_level, F.lit(" "), F.lit(1)), F.lit(""))
+    return F.when(m.startswith(_STACK_PREFIX), resolved).otherwise(m)
+
+
 def parse_documents(docs: DataFrame, keep_dropped: bool = False) -> DataFrame:
     """documents -> features (FEATURES_SCHEMA + ref_tokens, coarse_cell,
     root_idx, n_live). One output row per surviving span."""
@@ -65,7 +89,7 @@ def parse_documents(docs: DataFrame, keep_dropped: bool = False) -> DataFrame:
             i.cast("int").alias("span_idx"),
             F.coalesce(s["kind"], F.lit("")).alias("kind"),
             F.coalesce(s["text"], F.lit("")).alias("text"),
-            F.coalesce(s["media_ref"], F.lit("")).alias("media_ref"),
+            _resolve_media(F.coalesce(s["media_ref"], F.lit(""))).alias("media_ref"),
             F.coalesce(s["offset"], i.cast("int")).alias("offset"),
             _span_key(s).alias("key"),
             (F.coalesce(s["kind"], F.lit("")) != "empty").alias("valid"),
@@ -173,7 +197,7 @@ def quarantine_empty_docs(docs: DataFrame) -> DataFrame:
         F.coalesce(F.col("spans"), F.array()),
         lambda s: ~(
             (_span_key(s).isNull())
-            & (F.coalesce(s["media_ref"], F.lit("")) == "")
+            & (_resolve_media(F.coalesce(s["media_ref"], F.lit(""))) == "")
             & (F.coalesce(s["text"], F.lit("")) == "")
         )
         & (F.coalesce(s["kind"], F.lit("")) != "empty"),

@@ -54,6 +54,18 @@ class Span:
     ref_tokens: list[str] = field(default_factory=list)
 
 
+def _resolve_media(m: str) -> str:
+    """F21 initiator stack walk (reference nodes.py:643-649): first token
+    of the first non-empty '|'-separated level of a 'stack:...' pointer,
+    or '' when every level is empty. Mirrors parse._resolve_media."""
+    if not m.startswith("stack:"):
+        return m
+    for level in m[len("stack:"):].split("|"):
+        if level != "":
+            return level.split(" ")[0]
+    return ""
+
+
 def parse_doc(spans_raw: list[dict]) -> list[Span]:
     """Parse-pass semantics (SURVEY.md §2.3 F1-F2 analogue)."""
     spans: list[Span] = []
@@ -65,7 +77,7 @@ def parse_doc(spans_raw: list[dict]) -> list[Span]:
             span_idx=i,
             kind=s.get("kind") or "",
             text=text,
-            media_ref=s.get("media_ref") or "",
+            media_ref=_resolve_media(s.get("media_ref") or ""),
             offset=s.get("offset") if s.get("offset") is not None else i,
             key=key,
         )

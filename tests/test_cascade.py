@@ -69,6 +69,13 @@ def test_scenario_expectations():
     ini = by_doc["scn-initiator"]
     assert ini[1]["join_kind"] == "initiator" and ini[1]["parent_idx"] == 0
 
+    # F21 stack walk: k36 resolves via the empty-top-level walk, k37 at
+    # level 0; k38's all-empty stack resolves to no pointer -> fallback
+    stk = by_doc["scn-initiator-stack"]
+    assert stk[1]["join_kind"] == "initiator" and stk[1]["parent_idx"] == 0
+    assert stk[2]["join_kind"] == "initiator" and stk[2]["parent_idx"] == 0
+    assert stk[3]["join_kind"].startswith("fallback")
+
     res = by_doc["scn-resource"]
     assert res[1]["join_kind"] == "resource" and res[1]["parent_idx"] == 0
 
