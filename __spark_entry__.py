@@ -619,13 +619,15 @@ def q_key_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9/F10/F14 multi-way payload decode dispatch (nodes.py:260-498
-    analogue): 12 shape arms incl. base64 blind-retry, multipart split,
-    json-stream reframe, form-urlencoded, garbled-gzip flagging, and the
-    POST-decode size rules (nodes.py:486-498)."""
+    analogue): 16 payload shapes over the 18-kind arm cascade incl. base64
+    blind-retry + single-trailing-pad repair, multipart split, json-stream
+    reframe, form-urlencoded, garbled-gzip flagging, the ion/dns-wire/
+    protobuf blackbox tags (nodes.py:361-433), and the POST-decode size
+    rules (nodes.py:486-498)."""
     from har2tree_spark.operators import decode  # noqa: PLC0415
 
     f = _live(spark, sf_dir)
-    m = F.pmod(F.col("span_idx"), 12)
+    m = F.pmod(F.col("span_idx"), 16)
     b64 = F.base64(F.col("text").cast("binary"))
     t1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
     t2 = F.split_part(F.col("text"), F.lit(" "), F.lit(2))
@@ -658,11 +660,28 @@ def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # urlsafe base64: '?????' suffix guarantees an aligned '???' 3-byte
         # group, whose encoding 'Pz8/' forces a '/' -> '_' after translation
-        .otherwise(
+        .when(
+            m == 11,
             F.translate(
                 F.base64(F.concat(F.col("text"), F.lit("?????")).cast("binary")),
                 "+/",
                 "-_",
+            ),
+        )
+        .when(m == 12, F.concat(F.lit("$ion_1_0 "), F.col("text")))
+        .when(m == 13, F.concat(F.lit("data:application/dns-message;base64,"), b64))
+        .when(m == 14, F.concat(F.lit("data:application/x-protobuf,"), F.col("text")))
+        # single-trailing-pad repair: pad text to a 3-byte boundary so its
+        # base64 is pad-free, then append one '=' (the 'QUJD=' class)
+        .otherwise(
+            F.concat(
+                F.base64(
+                    F.concat(
+                        F.col("text"),
+                        F.repeat(F.lit("?"), (3 - F.length(F.col("text")) % 3) % 3),
+                    ).cast("binary")
+                ),
+                F.lit("="),
             )
         )
     )
@@ -2130,12 +2149,12 @@ def oracle_sql() -> dict[str, str]:
     b64_re = "^[A-Za-z0-9+/]+={0,2}$"
     b64_nopad_re = "^[A-Za-z0-9+/]+$"
     form_re = "^[A-Za-z0-9_.~%+-]+=[A-Za-z0-9_.~%+&=-]*$"
-    # 12-arm shape dispatch, priority-ordered exactly like
+    # 18-kind shape dispatch, priority-ordered exactly like
     # har2tree_spark.operators.decode.decode_dispatch
     out["decode_dispatch"] = f"""{cte},
       pay AS (
         SELECT doc_id, span_idx,
-               CASE span_idx % 12
+               CASE span_idx % 16
                  WHEN 0 THEN 'data:text/plain;base64,' || to_base64(encode(text))
                  WHEN 1 THEN to_base64(encode(text))
                  WHEN 2 THEN regexp_replace(to_base64(encode(text)), '=+$', '')
@@ -2155,7 +2174,13 @@ def oracle_sql() -> dict[str, str]:
                       || '"}}{{"b":"' || split_part(text, ' ', 2) || '"}}'
                  WHEN 10 THEN '<r a="' || split_part(text, ' ', 1) || '"><v>'
                       || split_part(text, ' ', 2) || '</v></r>'
-                 ELSE translate(to_base64(encode(text || '?????')), '+/', '-_')
+                 WHEN 11 THEN translate(to_base64(encode(text || '?????')), '+/', '-_')
+                 WHEN 12 THEN '$ion_1_0 ' || text
+                 WHEN 13 THEN 'data:application/dns-message;base64,'
+                              || to_base64(encode(text))
+                 WHEN 14 THEN 'data:application/x-protobuf,' || text
+                 ELSE to_base64(encode(text
+                        || repeat('?', (3 - length(text) % 3) % 3))) || '='
                END AS p
         FROM live
       ),
@@ -2170,6 +2195,13 @@ def oracle_sql() -> dict[str, str]:
                (regexp_matches(p, '{b64_re}') AND length(p) % 4 = 0) AS b64ish,
                (regexp_matches(p, '{b64_nopad_re}') AND length(p) % 4 <> 1
                 AND length(p) % 4 <> 0) AS b64_fixable,
+               (regexp_matches(p, '^[A-Za-z0-9+/]+=$') AND length(p) % 4 = 1)
+                 AS b64_trailpad,
+               ((p LIKE '%-%' OR p LIKE '%\\_%' ESCAPE '\\')
+                AND regexp_matches(p, '^[A-Za-z0-9_-]+=$')
+                AND length(p) % 4 = 1) AS u_trailpad,
+               split_part(substr(split_part(p, ',', 1), 6), ';', 1) AS mime,
+               starts_with(p, '$ion_') AS ion_text,
                ((p LIKE '%-%' OR p LIKE '%\\_%' ESCAPE '\\')
                 AND regexp_matches(p, '^[A-Za-z0-9_-]+={{0,2}}$')
                 AND length(p) % 4 = 0) AS u_padded,
@@ -2182,29 +2214,51 @@ def oracle_sql() -> dict[str, str]:
                (p LIKE '{{%' AND regexp_matches(p, '\\}}\\{{')) AS jstream
         FROM pay
       ),
+      db AS (
+        SELECT *,
+               (p LIKE 'data:%'
+                AND starts_with(mime, 'application/x-amzn-ion')) AS ion_uri,
+               (p LIKE 'data:%'
+                AND starts_with(mime, 'application/dns-message')) AS dns_uri,
+               (p LIKE 'data:%' AND mime IN ('application/grpc-web+proto',
+                  'application/x-protobuf', 'application/proto',
+                  'application/x-protobuffer')) AS pb_uri,
+               (hdr LIKE '%;base64%' AND regexp_matches(body, '{b64_re}')
+                AND length(body) % 4 = 0) AS duri_ok
+        FROM d
+      ),
       d2 AS (
         SELECT doc_id, span_idx,
              CASE WHEN p = '' THEN 'empty'
                   WHEN garbled THEN 'gzip_garbled'
+                  WHEN ion_text OR ion_uri THEN 'ion'
+                  WHEN dns_uri THEN 'dns_wire'
+                  WHEN pb_uri THEN 'protobuf'
                   WHEN p LIKE 'data:%' AND hdr LIKE '%;base64%' THEN 'data_uri_b64'
                   WHEN p LIKE 'data:%' THEN 'data_uri_raw'
                   WHEN is_mp THEN 'multipart'
                   WHEN hexish THEN 'hex'
                   WHEN b64ish THEN 'base64'
                   WHEN b64_fixable THEN 'base64_padfix'
-                  WHEN u_padded OR u_fixable THEN 'base64_url'
+                  WHEN b64_trailpad THEN 'base64_trailpad'
+                  WHEN u_padded OR u_fixable OR u_trailpad THEN 'base64_url'
                   WHEN formish THEN 'form_urlencoded'
                   WHEN jstream THEN 'json_stream'
                   WHEN p LIKE '{{%' OR p LIKE '[%' THEN 'json'
                   WHEN p LIKE '<%' THEN 'xml'
                   ELSE 'plain' END AS decode_kind,
              CASE WHEN garbled THEN FALSE
+                  WHEN ion_text OR ion_uri OR dns_uri OR pb_uri THEN FALSE
                   WHEN p LIKE 'data:%' AND hdr LIKE '%;base64%'
                     THEN regexp_matches(body, '{b64_re}') AND length(body) % 4 = 0
                   WHEN NOT (p LIKE 'data:%') AND is_mp THEN len(mparts) > 0
                   ELSE TRUE END AS decode_ok,
              CASE WHEN p = '' THEN ''
                   WHEN garbled THEN p
+                  WHEN ion_text THEN p
+                  WHEN ion_uri OR dns_uri OR pb_uri
+                    THEN CASE WHEN duri_ok THEN decode(from_base64(body))
+                              ELSE body END
                   WHEN p LIKE 'data:%' AND hdr LIKE '%;base64%'
                     THEN CASE WHEN regexp_matches(body, '{b64_re}') AND length(body) % 4 = 0
                               THEN decode(from_base64(body)) ELSE '' END
@@ -2214,15 +2268,20 @@ def oracle_sql() -> dict[str, str]:
                   WHEN b64ish THEN decode(from_base64(p))
                   WHEN b64_fixable
                     THEN decode(from_base64(p || repeat('=', (4 - length(p) % 4) % 4)))
+                  WHEN b64_trailpad
+                    THEN decode(from_base64(substr(p, 1, length(p) - 1)))
                   WHEN u_padded THEN decode(from_base64(translate(p, '-_', '+/')))
                   WHEN u_fixable
                     THEN decode(from_base64(translate(p, '-_', '+/')
                                 || repeat('=', (4 - length(p) % 4) % 4)))
+                  WHEN u_trailpad
+                    THEN decode(from_base64(
+                          translate(substr(p, 1, length(p) - 1), '-_', '+/')))
                   WHEN formish THEN replace(p, '+', ' ')
                   WHEN jstream
                     THEN '[' || regexp_replace(p, '\\}}\\{{', '}},{{', 'g') || ']'
                   ELSE p END AS decoded
-        FROM d
+        FROM db
       )
       SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
              decode_kind, decode_ok, decoded,

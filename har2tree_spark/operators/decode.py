@@ -18,6 +18,18 @@ empty form value). Arms, in dispatch priority:
   gzip garbled   -> payload as-is, ok=false (nodes.py:270-276: the
                     '\\x1f\\ufffd\\x08' replacement-character signature of a
                     gzip blob garbled by UTF-8 decoding; kept, flagged)
+  ion            -> blackbox tag + keep-raw, ok=false. Two gates: the Ion
+                    text version marker '$ion_' prefix, or a data-URI whose
+                    declared mimetype starts with application/x-amzn-ion —
+                    the in-band analogue of the reference's mimetype
+                    dispatch (nodes.py:361-375; simpleion decode is the
+                    documented swap point, lib not in this container)
+  dns_wire       -> blackbox tag (data-URI declared application/dns-message,
+                    nodes.py:428-433); transport ;base64 layer decoded,
+                    wire payload kept raw, ok=false
+  protobuf       -> blackbox tag (data-URI declared grpc-web+proto /
+                    x-protobuf / proto / x-protobuffer, nodes.py:400-413);
+                    transport layer decoded, bytes kept raw, ok=false
   data-URI b64   -> unbase64 of the payload part       (F14 + F10)
   data-URI raw   -> payload part as-is
   multipart      -> part bodies joined by newline      (nodes.py:377-398;
@@ -33,6 +45,15 @@ empty form value). Arms, in dispatch priority:
                     blindly appends b'===' and lets the decoder discard the
                     excess, nodes.py:122-124; computing the exact pad is
                     outcome-identical for every fixable length)
+  base64 trailpad-> a pad-free base64 body with EXACTLY one trailing '='
+                    and length %% 4 == 1 ('QUJD='): the reference's blind
+                    b'===' append lands on a complete unpadded group plus a
+                    tolerated all-pad group, so it decodes the stripped
+                    body (nodes.py:122-124; binascii accepts 'QUJD====' but
+                    rejects 'QQ====' — only the stripped-length %% 4 == 0
+                    class is repairable, which the %% 4 == 1 gate encodes).
+                    Must dispatch before the form arm, which also matches
+                    a single trailing '=' (the r4 ADVICE 'QQ=' recall case)
   base64 urlsafe -> '-_' alphabet translated to '+/' then unbase64
                     (nodes.py:126-128 altchars branch), incl. the same
                     pad-fix retry; must dispatch before the form arm ('=': a
@@ -84,6 +105,15 @@ MULTIPART_RE = "^--[A-Za-z0-9]+\n"
 MULTIPART_PART_RE = "(?s)\n\n(.*?)\n--"
 FORM_RE = "^[A-Za-z0-9_.~%+-]+=[A-Za-z0-9_.~%+&=-]*\\z"
 JSON_STREAM_RE = "\\}\\{"
+ION_MARKER = "$ion_"  # Ion text version marker ($ion_1_0 ...)
+# data-URI declared mimetypes routed to the blackbox keep-raw arms
+# (reference nodes.py:361-375 ion, 400-413 protobuf, 428-433 dns-message)
+PROTOBUF_MIMES = (
+    "application/grpc-web+proto",
+    "application/x-protobuf",
+    "application/proto",
+    "application/x-protobuffer",
+)
 
 
 def _unb64(c: Column) -> Column:
@@ -98,6 +128,21 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     duri_hdr = F.split_part(p, F.lit(","), F.lit(1))
     duri_body = F.split_part(p, F.lit(","), F.lit(2))
     duri_ok = duri_body.rlike(B64_RE) & (F.length(duri_body) % 4 == 0)
+    # blackbox mimetype arms: the data-URI header carries the declared
+    # type in-band (RFC 2397) — the shape analogue of the reference's
+    # mimetype dispatch for types it can only tag, not structurally parse
+    duri_mime = F.split_part(F.substr(duri_hdr, F.lit(6)), F.lit(";"), F.lit(1))
+    ion_text = p.startswith(ION_MARKER)
+    ion_uri = is_data & duri_mime.startswith("application/x-amzn-ion")
+    dns_uri = is_data & duri_mime.startswith("application/dns-message")
+    pb_uri = is_data & duri_mime.isin(*PROTOBUF_MIMES)
+    blackbox_uri = ion_uri | dns_uri | pb_uri
+    # transport layer only: strip a declared ;base64 envelope, keep the
+    # payload itself raw (the reference lib-decodes here; tag + keep-raw
+    # is its no-lib failure path, posted_data_info 'Unable to decode')
+    blackbox_decoded = F.when(
+        duri_hdr.contains(";base64") & duri_ok, _unb64(duri_body)
+    ).otherwise(duri_body)
     is_multipart = p.rlike(MULTIPART_RE)
     mp_parts = F.regexp_extract_all(p, F.lit(MULTIPART_PART_RE), 1)
     hexish = p.rlike(HEX_RE) & (F.length(p) % 2 == 0)
@@ -109,6 +154,10 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.length(p) % 4 != 0
     )
     repadded = F.concat(p, F.repeat(F.lit("="), (4 - F.length(p) % 4) % 4))
+    # single-trailing-'=' repair ('QUJD=' -> stripped body %4 == 0; the
+    # reference's blind b'===' append decodes exactly this class)
+    stripped = F.substr(p, F.lit(1), F.length(p) - 1)
+    b64_trailpad = p.rlike("^[A-Za-z0-9+/]+=\\z") & (F.length(p) % 4 == 1)
     # urlsafe alphabet ('-'/'_' present distinguishes it from plain base64,
     # which already won above); same padded/fixable split as the +/ arm
     has_alt = F.contains(p, F.lit("-")) | F.contains(p, F.lit("_"))
@@ -121,6 +170,10 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         & (F.length(p) % 4 != 0)
     )
     u_repadded = F.concat(std, F.repeat(F.lit("="), (4 - F.length(p) % 4) % 4))
+    u_trailpad = (
+        p.rlike("^[A-Za-z0-9_-]+=\\z") & has_alt & (F.length(p) % 4 == 1)
+    )
+    u_stripped = F.translate(stripped, "-_", "+/")
     # form grammar + every '%' must open a valid %XX escape (no lookahead:
     # strip valid escapes, then any surviving '%' is invalid)
     formish = p.rlike(FORM_RE) & ~F.contains(
@@ -133,13 +186,17 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     kind = (
         F.when(p == "", "empty")
         .when(is_gzip_garbled, "gzip_garbled")
+        .when(ion_text | ion_uri, "ion")
+        .when(dns_uri, "dns_wire")
+        .when(pb_uri, "protobuf")
         .when(is_data & duri_hdr.contains(";base64"), "data_uri_b64")
         .when(is_data, "data_uri_raw")
         .when(is_multipart, "multipart")
         .when(hexish, "hex")
         .when(b64ish, "base64")
         .when(b64_fixable, "base64_padfix")
-        .when(u_padded | u_fixable, "base64_url")
+        .when(b64_trailpad, "base64_trailpad")
+        .when(u_padded | u_fixable | u_trailpad, "base64_url")
         .when(formish, "form_urlencoded")
         .when(json_streamish, "json_stream")
         .when(jsonish, "json")
@@ -149,6 +206,8 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     decoded = (
         F.when(p == "", "")
         .when(is_gzip_garbled, p)
+        .when(ion_text, p)
+        .when(blackbox_uri, blackbox_decoded)
         .when(
             is_data & duri_hdr.contains(";base64"),
             F.when(duri_ok, _unb64(duri_body)).otherwise(""),
@@ -158,8 +217,10 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(hexish, F.unhex(p).cast("string"))
         .when(b64ish, _unb64(p))
         .when(b64_fixable, _unb64(repadded))
+        .when(b64_trailpad, _unb64(stripped))
         .when(u_padded, _unb64(std))
         .when(u_fixable, _unb64(u_repadded))
+        .when(u_trailpad, _unb64(u_stripped))
         .when(formish, F.translate(p, "+", " "))
         .when(
             json_streamish,
@@ -169,6 +230,7 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
     ok = (
         F.when(is_gzip_garbled, F.lit(False))
+        .when(ion_text | blackbox_uri, F.lit(False))
         .when(is_data & duri_hdr.contains(";base64"), duri_ok)
         .when(is_multipart, F.size(mp_parts) > 0)
         .otherwise(F.lit(True))

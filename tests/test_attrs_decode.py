@@ -181,7 +181,7 @@ def test_header_lookup_and_ref_cleanup(spark):
 
 
 def test_decode_dispatch_never_throws_fuzz(spark):
-    """Totality invariant: under ANSI mode the 13-arm cascade must decode
+    """Totality invariant: under ANSI mode the 18-kind cascade must decode
     ANY string without throwing, return a kind from the closed set, and
     keep (decoded, decode_ok, decoded_size) non-null with size==0 iff
     decoded=='' (the reference wraps every arm in try/except; this engine
@@ -191,7 +191,7 @@ def test_decode_dispatch_never_throws_fuzz(spark):
 
     rng = random.Random(1234)
     alphabet = (
-        string.ascii_letters + string.digits + "+/=%&.~-_ \t{}[]<>\"'\\:;,()\n"
+        string.ascii_letters + string.digits + "+/=%&.~-_ \t{}[]<>\"'\\:;,()\n$"
     )
     payloads = ["".join(rng.choices(alphabet, k=rng.randrange(0, 40))) for _ in range(500)]
     payloads += [
@@ -201,11 +201,21 @@ def test_decode_dispatch_never_throws_fuzz(spark):
         "{", "}{", "[", "]", "<", "<>", "<?xml version=\"1.0\"?><r/>",
         "QQ=Q", "QQ=", "QQQQQ=", "abcde", "deadbeef", "DEADBEEF0", "\x1f\ufffd\x08",
         "\x00\x01", "a&b", "a=b&c", "k=v&k=v", "{\"a\":1}{", "ab+cd",
+        # blackbox + trailpad arm grammars and their near-misses
+        "$ion_1_0 {a:1}", "$ion", "$ion_", "$notion",
+        "data:application/x-amzn-ion,{a:1}",
+        "data:application/x-amzn-ion;base64,",
+        "data:application/dns-message;base64,QUJD",
+        "data:application/dns-message;base64,!!!",
+        "data:application/x-protobuf,xyz", "data:application/proto,",
+        "data:application/x-protobufferX,x", "data:application/protox,x",
+        "QUJD=", "QUJDQQ=", "-_8=", "ab-_=", "ab-_====", "=QUJD", "Q=UJD",
     ]
     kinds = {
-        "empty", "gzip_garbled", "data_uri_b64", "data_uri_raw", "multipart",
-        "hex", "base64", "base64_padfix", "base64_url", "form_urlencoded",
-        "json_stream", "json", "xml", "plain",
+        "empty", "gzip_garbled", "ion", "dns_wire", "protobuf",
+        "data_uri_b64", "data_uri_raw", "multipart",
+        "hex", "base64", "base64_padfix", "base64_trailpad", "base64_url",
+        "form_urlencoded", "json_stream", "json", "xml", "plain",
     }
     df = spark.createDataFrame(
         [(i, p) for i, p in enumerate(payloads)], "span_idx int, payload string"
@@ -237,6 +247,39 @@ def test_decode_urlsafe_base64(spark):
     assert got[1].decode_kind == "base64_url" and got[1].decoded == "k??k"
     assert got[2].decode_kind == "base64"
     assert all(got[i].decode_ok for i in range(3))
+
+
+def test_decode_blackbox_and_trailpad_arms(spark):
+    """r4 VERDICT task #3: ion/dns-wire/protobuf blackbox tags (reference
+    nodes.py:361-433 — tag + keep-raw after the transport layer) and the
+    single-trailing-pad repair class (nodes.py:122-124: blind b'===' append
+    decodes 'QUJD=' but not 'QQ=' / 'QUJDQQ=')."""
+    cases = [
+        # (payload, kind, ok, decoded)
+        ("$ion_1_0 {a:1}", "ion", False, "$ion_1_0 {a:1}"),
+        ("data:application/x-amzn-ion,{a:1}", "ion", False, "{a:1}"),
+        ("data:application/dns-message;base64,QUJD", "dns_wire", False, "ABC"),
+        ("data:application/dns-message;base64,!!!", "dns_wire", False, "!!!"),
+        ("data:application/x-protobuf,xyz", "protobuf", False, "xyz"),
+        ("data:application/grpc-web+proto;base64,QUJD", "protobuf", False, "ABC"),
+        # near-miss mimetypes stay on the generic data-URI arms
+        ("data:application/x-protobufferX,x", "data_uri_raw", True, "x"),
+        # trailpad repair: stripped length % 4 == 0 decodes, others keep raw
+        ("QUJD=", "base64_trailpad", True, "ABC"),
+        ("QQ=", "form_urlencoded", True, "QQ="),
+        ("QUJDQQ=", "form_urlencoded", True, "QUJDQQ="),
+        ("ab-_=", "base64_url", True, None),  # urlsafe trailpad decodes
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "span_idx int, payload string"
+    )
+    got = {r.span_idx: r for r in decode.decode_dispatch(df).collect()}
+    for i, (p, wkind, wok, wdec) in enumerate(cases):
+        r = got[i]
+        assert r.decode_kind == wkind, (p, r.decode_kind, wkind)
+        assert r.decode_ok == wok, (p, r.decode_ok)
+        if wdec is not None:
+            assert r.decoded == wdec, (p, r.decoded, wdec)
 
 
 def test_scalar_families_total_on_arbitrary_text(spark):
