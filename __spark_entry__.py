@@ -439,7 +439,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = multimodal.synthesize_media(spark, 256)
     return multimodal.sample_frames(m).select(
         "media_id", "doc_id", F.col("frame_ms").cast("long").alias("frame_ms"),
-        "source_sha256",
+        "source_hex_sha256",
     )
 
 
@@ -452,7 +452,7 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = multimodal.synthesize_media(spark, 256)
     m2 = m.withColumn("media_id", F.concat(F.lit("x"), F.col("media_id")))
     return multimodal.media_dedup(m.unionByName(m2)).select(
-        "payload_sha256", F.col("n_blobs").cast("long").alias("n_blobs"), "keeper"
+        "payload_hex_sha256", F.col("n_blobs").cast("long").alias("n_blobs"), "keeper"
     )
 
 
@@ -1685,7 +1685,7 @@ def oracle_sql() -> dict[str, str]:
              'doc-' || printf('%08d', i % 64) AS doc_id,
              CAST(unnest(generate_series(0, greatest(dur - 1, 0), 5000)) AS BIGINT)
                AS frame_ms,
-             sha256(h) AS source_sha256
+             sha256(h) AS source_hex_sha256
       FROM v"""
 
     # every md5-chain payload is distinct, so the doubled corpus groups
@@ -1693,7 +1693,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_dedup"] = f"""
       WITH ids AS (SELECT CAST(range AS INTEGER) AS i FROM range(0, 256))
       SELECT sha256(substr({_chain}, 1, 2 * (64 + i % 192)))
-               AS payload_sha256,
+               AS payload_hex_sha256,
              CAST(2 AS BIGINT) AS n_blobs,
              printf('m%08d', i) AS keeper
       FROM ids"""

@@ -10,7 +10,7 @@ Layout follows the reference's embedded-resource model (binary bodies keyed
 by digest, reference nodes.py:100, helper.py:85-127): blobs are hashed
 early and joins ship hashes, never payloads (SURVEY.md §7.3 point 6).
 
-DIGEST DOMAIN CONTRACT: ``payload_sha256`` (and the ``source_sha256`` it
+DIGEST DOMAIN CONTRACT: ``payload_hex_sha256`` (and the ``source_hex_sha256`` it
 feeds in frame sampling) is sha256 over the LOWERCASE-HEX ENCODING of the
 payload, not over the raw bytes — SQL engines' sha256 (the oracle dialect
 included) is VARCHAR-only, and hex is bijective with the bytes so dedup /
@@ -41,7 +41,7 @@ MEDIA_SCHEMA = T.StructType(
         T.StructField("duration_ms", T.LongType(), True),
         # sha256 over the lowercase-hex ENCODING of payload (see the
         # digest-domain contract in the module docstring)
-        T.StructField("payload_sha256", T.StringType(), True),
+        T.StructField("payload_hex_sha256", T.StringType(), True),
     ]
 )
 
@@ -85,7 +85,7 @@ def synthesize_media(spark, n: int, seed: int = 42, partitions: int | None = Non
                         # with the bytes): SQL engines' sha256 is
                         # VARCHAR-only, so this keeps the content digest
                         # replayable by the DuckDB oracle
-                        "payload_sha256": hashlib.sha256(
+                        "payload_hex_sha256": hashlib.sha256(
                             payload.hex().encode()
                         ).hexdigest(),
                     }
@@ -158,13 +158,13 @@ def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
         "media_id",
         "doc_id",
         F.explode(ts).alias("frame_ms"),
-        F.col("payload_sha256").alias("source_sha256"),
+        F.col("payload_hex_sha256").alias("source_hex_sha256"),
     )
 
 
 def media_dedup(media: DataFrame) -> DataFrame:
     """Exact blob dedup by payload digest (hash early, ship hashes)."""
-    return media.groupBy("payload_sha256").agg(
+    return media.groupBy("payload_hex_sha256").agg(
         F.count("*").cast("long").alias("n_blobs"),
         F.min("media_id").alias("keeper"),
     )

@@ -31,7 +31,7 @@ def exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     members_cap: int = 100,
-    bounded_buffer: bool = False,
+    bounded_buffer: bool = True,
 ) -> DataFrame:
     """Groups by content digest; keeper = min id per group.
 
@@ -39,14 +39,21 @@ def exact_dedup(
     (sorted); ``n_docs`` stays exact. At 100 TB a degenerate group (10^7
     identical boilerplate docs) must not materialize one row holding every
     member id — the slice bounds the emitted row width (and the shuffled
-    bytes) to O(members_cap). The collect_list aggregation buffer is still
-    O(group) transiently on one reducer (~80 MB at 10^7 longs — spill-safe,
-    not row-width-unsafe); ``bounded_buffer=True`` switches to a
-    row_number-window pre-cap whose state is O(members_cap) everywhere
-    (result-identical, pinned by pytest) at the cost of one extra
-    sort-shuffle — the right trade for corpora with adversarially larger
-    duplicate groups. Pass ``members_cap=None`` for the exact unbounded
-    list (small corpora only)."""
+    bytes) to O(members_cap).
+
+    DEFAULT path (``bounded_buffer=True``, the r4-VERDICT flip): a
+    row_number-window pre-cap whose per-operator state is O(members_cap)
+    everywhere — row_number streams over the sorted partition, the filter
+    drops everything past the cap before the collect_list, and the exact
+    ``n_docs``/``keeper`` come from a constant-state count/min aggregate.
+    Cost: the 2-column (hash, id) projection is scanned by two branches
+    (prunable-cheap from parquet) plus one extra sort-shuffle.
+    ``bounded_buffer=False`` restores the single-shuffle collect_list
+    + slice plan, whose aggregation buffer is O(group) transiently on one
+    reducer (~80 MB at 10^7 longs — spill-safe, not row-width-unsafe);
+    result-identical (pinned by pytest), the right opt-out when duplicate
+    groups are known small. Pass ``members_cap=None`` for the exact
+    unbounded list (small corpora only)."""
     digest = F.md5(F.col(text_col))
     if bounded_buffer and members_cap is not None:
         h = df.select(

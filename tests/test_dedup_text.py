@@ -146,14 +146,20 @@ def test_simhash_null_text_is_zero(spark):
 
 
 def test_exact_dedup_members_bounded(spark):
-    """Law test (VERDICT r3 #1): a 10^5-identical-doc corpus must produce a
-    bounded members row — n_docs exact, members = the 100 smallest ids."""
+    """Law test (VERDICT r3 #1 + r4 #6): a 10^5-identical-doc corpus must
+    produce a bounded members row — n_docs exact, members = the 100
+    smallest ids — WITHOUT the caller opting in, and the default plan must
+    be the O(cap)-state shape (row_number pre-cap before the collect_list,
+    not an O(group) aggregation buffer)."""
     from pyspark.sql import functions as F
 
     d = spark.range(100_000).select(
         F.col("id").alias("doc_id"), F.lit("identical boilerplate").alias("text")
     )
-    row = dedup.exact_dedup(d, members_cap=100).collect()[0]
+    out = dedup.exact_dedup(d, members_cap=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan, plan
+    row = out.collect()[0]
     assert row.n_docs == 100_000
     assert row.keeper == 0
     assert list(row.members) == list(range(100))
@@ -166,7 +172,7 @@ def test_exact_dedup_bounded_buffer_identical(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     a = {
         r.content_hash: (r.n_docs, r.keeper, list(r.members))
-        for r in dedup.exact_dedup(d, members_cap=10).collect()
+        for r in dedup.exact_dedup(d, members_cap=10, bounded_buffer=False).collect()
     }
     b = {
         r.content_hash: (r.n_docs, r.keeper, list(r.members))
