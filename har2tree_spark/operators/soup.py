@@ -8,13 +8,21 @@ redirects only when the target resolves against the document's known-URL
 universe (nodes.py:573-590).
 
 Re-grounded Spark-first: the markup grammar of the synthetic bodies is
-regular, so tag/attribute extraction is `regexp_extract_all` — pure JVM
-codegen, no Python soup in the hot path (the reference's own profiling
-notes name soup parsing as its dominant cost; at 100 TB a per-row Python
-HTML parser is exactly what this engine must not do). A real-world HTML
-corpus with a non-regular grammar would swap in an lxml `mapInPandas`
-behind the same column contract — the plumbing (schema, joins, gates)
-stays identical.
+regular, so the DEFAULT tag/attribute extraction is `regexp_extract_all` —
+pure JVM codegen, no Python soup in the hot path (the reference's own
+profiling notes name soup parsing as its dominant cost; at 100 TB a
+per-row Python HTML parser is exactly what this engine must not do).
+
+For real-world non-regular HTML, ``soup_features(df, engine="lxml")``
+swaps in an Arrow-batched ``mapInPandas`` event parser behind the SAME
+column contract: lxml's SAX-style ``etree.HTMLParser(target=...)`` when
+lxml is importable, the stdlib ``html.parser`` event stream otherwise —
+the analogue of the reference's BeautifulSoup parser fallback chain
+(helper.py:283-294, lxml -> html.parser). The parser path handles what
+the regex cannot (unclosed tags, single-quoted/unquoted attributes,
+case-mixed markup, comments) and is parity-pinned against the regexp
+path on the regular corpus; the CSS url()/@import arms stay on the JVM
+regexes in both engines so those segments are bit-identical.
 
   * soup_features  — tag sequence, lowercased; domhash = first 32 hex of
                      sha256 of the '|'-joined tag names (F26 contract);
@@ -48,23 +56,65 @@ JS_REDIRECT_RE = r"location\.(?:href\s*=|replace\(|assign\()\s*'([^']*)'"
 META_REFRESH_RE = 'http-equiv="refresh"[^>]*url=([^">]*)'
 
 
+RESOURCE_ATTRS = frozenset({"src", "srcset", "longdesc", "poster", "href", "data"})
+
+
 def _extract_all(body: Column, pattern: str) -> Column:
     return F.regexp_extract_all(body, F.lit(pattern), F.lit(1))
 
 
-def soup_features(df: DataFrame, body_col: str = "body") -> DataFrame:
-    """Adds (tags, domhash, res_refs, n_tags, n_res) for a markup column.
-    ``res_refs`` = attribute refs ++ CSS url() refs ++ @import refs, in
-    that deterministic order (the reference appends per category too)."""
-    body = F.col(body_col)
-    tags = F.transform(_extract_all(body, TAG_RE), F.lower)
-    df = df.withColumn("tags", tags)
-    res = F.concat(
-        _extract_all(body, ATTR_RE),
-        _extract_all(body, CSS_URL_RE),
-        _extract_all(body, CSS_IMPORT_RE),
-    )
-    return (
+def _parse_markup_events(body: str) -> tuple[list[str], list[str]]:
+    """(tags, attr_refs) from a real HTML event parser — lxml's SAX target
+    API when importable, stdlib html.parser otherwise. Never throws: a
+    hard parser error keeps whatever was collected before it."""
+    tags: list[str] = []
+    refs: list[str] = []
+    try:
+        import lxml.etree as _etree  # noqa: PLC0415
+
+        class _Target:
+            def start(self, tag, attrib):  # noqa: ANN001
+                if isinstance(tag, str):
+                    tags.append(tag.lower())
+                    for name, val in attrib.items():
+                        if name.lower() in RESOURCE_ATTRS:
+                            refs.append(val or "")
+
+            def close(self):  # noqa: ANN201
+                return None
+
+        parser = _etree.HTMLParser(target=_Target(), recover=True)
+        try:
+            parser.feed(body)
+            parser.close()
+        except Exception:  # noqa: BLE001 — keep-partial, never-throws
+            pass
+        return tags, refs
+    except ImportError:
+        pass
+    from html.parser import HTMLParser  # noqa: PLC0415
+
+    class _Collect(HTMLParser):
+        def handle_starttag(self, tag, attrs):  # noqa: ANN001
+            tags.append(tag)
+            for name, val in attrs:
+                if name in RESOURCE_ATTRS:
+                    refs.append(val if val is not None else "")
+
+    try:
+        c = _Collect(convert_charrefs=True)
+        c.feed(body)
+        c.close()
+    except Exception:  # noqa: BLE001 — keep-partial, never-throws
+        pass
+    return tags, refs
+
+
+def _finalize(df: DataFrame, orig_cols: list[str]) -> DataFrame:
+    """Shared (domhash, n_tags, n_res) derivation + the contract's column
+    order — both engines go through this, so the derived columns are the
+    same JVM expressions either way."""
+    out = (
         df.withColumn(
             "domhash",
             F.when(
@@ -72,10 +122,68 @@ def soup_features(df: DataFrame, body_col: str = "body") -> DataFrame:
                 F.substring(F.sha2(F.concat_ws("|", "tags"), 256), 1, 32),
             ),
         )
-        .withColumn("res_refs", res)
         .withColumn("n_tags", F.size("tags"))
         .withColumn("n_res", F.size("res_refs"))
     )
+    return out.select(*orig_cols, "tags", "domhash", "res_refs", "n_tags", "n_res")
+
+
+def soup_features(
+    df: DataFrame, body_col: str = "body", engine: str = "regexp"
+) -> DataFrame:
+    """Adds (tags, domhash, res_refs, n_tags, n_res) for a markup column.
+    ``res_refs`` = attribute refs ++ CSS url() refs ++ @import refs, in
+    that deterministic order (the reference appends per category too).
+
+    ``engine="regexp"`` (default): pure-JVM regexp extraction — the 100-TB
+    hot path for the regular markup grammar. ``engine="lxml"``: real HTML
+    event parsing in Arrow-batched ``mapInPandas`` (lxml when importable,
+    stdlib html.parser fallback — the reference's helper.py:283-294
+    chain); same column contract, parity-pinned on regular markup."""
+    orig_cols = df.columns
+    body = F.col(body_col)
+    css = (
+        _extract_all(body, CSS_URL_RE),
+        _extract_all(body, CSS_IMPORT_RE),
+    )
+    if engine == "regexp":
+        tags = F.transform(_extract_all(body, TAG_RE), F.lower)
+        out = df.withColumn("tags", tags).withColumn(
+            "res_refs", F.concat(_extract_all(body, ATTR_RE), *css)
+        )
+        return _finalize(out, orig_cols)
+    if engine != "lxml":
+        raise ValueError(f"unknown soup engine: {engine!r} (regexp|lxml)")
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    parsed_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+            T.StructField("_attr_refs", T.ArrayType(T.StringType()), True),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            parsed = [
+                _parse_markup_events(b if isinstance(b, str) else "")
+                for b in pdf[body_col].tolist()
+            ]
+            pdf = pdf.copy()
+            pdf["tags"] = [t for t, _ in parsed]
+            pdf["_attr_refs"] = [r for _, r in parsed]
+            yield pdf
+
+    out = (
+        df.mapInPandas(run, schema=parsed_schema)
+        # CSS arms stay on the exact JVM regexes of the regexp engine, so
+        # those res_refs segments are bit-identical across engines
+        .withColumn("res_refs", F.concat(F.col("_attr_refs"), *css))
+        .drop("_attr_refs")
+    )
+    return _finalize(out, orig_cols)
 
 
 def js_redirects(

@@ -30,6 +30,63 @@ def test_soup_features_tags_and_resources(spark):
     assert got[5].tags == ["p", "img"]
 
 
+def test_soup_parser_engine_parity_on_regular_markup(spark):
+    """r4 VERDICT task #2: the real-parser path (engine='lxml'; stdlib
+    event-parser fallback in this container — the reference's
+    helper.py:283-294 chain) must match the JVM regexp path exactly on
+    the regular double-quoted markup grammar, including the CSS arms."""
+    rows = [
+        ("d", 0, '<div><img src="k2"><script>location.href=\'k2\'</script></div>'),
+        ("d", 1, '<meta http-equiv="refresh" content="5;url=k1">'),
+        ("d", 2, "<span>no markup refs</span>"),
+        ("d", 3, "<script>location.replace('kZZZ')</script>"),
+        (
+            "d",
+            4,
+            '<link href="a.css"><style>.x{background:url(\'bg.png\')}'
+            "@import 'extra.css';</style>"
+            '<video poster="p.jpg"><source srcset="s1.png 1x"></video>',
+        ),
+        ("d", 5, '<object data="o.bin"><img longdesc="d.html" src=""></object>'),
+        ("d", 6, ""),
+        ("d", 7, "plain text, no tags"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, span_idx int, body string")
+    cols = ["tags", "domhash", "res_refs", "n_tags", "n_res"]
+    a = {r.span_idx: r for r in soup.soup_features(df).collect()}
+    b = {
+        r.span_idx: r
+        for r in soup.soup_features(df, engine="lxml").collect()
+    }
+    assert set(a) == set(b)
+    for i in a:
+        for c in cols:
+            assert a[i][c] == b[i][c], (i, c, a[i][c], b[i][c])
+    # and the parity is non-vacuous: resources from every arm family
+    assert a[4].res_refs == ["a.css", "p.jpg", "s1.png 1x", "bg.png", "extra.css"]
+
+
+def test_soup_parser_engine_handles_non_regular_html(spark):
+    """What the regexp grammar cannot parse, the parser engine must:
+    single-quoted/unquoted attributes, unclosed tags, and attr-shaped
+    text that is NOT markup (the regexp path's known false positive)."""
+    rows = [
+        ("d", 0, "<p><img src='a.png'><UL><LI>unclosed"),
+        ("d", 1, 'prose with src="fake" outside any tag'),
+        ("d", 2, "<a href=bare.html>x</a>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, span_idx int, body string")
+    got = {
+        r.span_idx: r
+        for r in soup.soup_features(df, engine="lxml").collect()
+    }
+    assert got[0].tags == ["p", "img", "ul", "li"]
+    assert got[0].res_refs == ["a.png"]  # single-quoted attr extracted
+    assert got[1].res_refs == []  # text is not an attribute
+    assert got[1].tags == []
+    assert got[2].res_refs == ["bare.html"]  # unquoted attr extracted
+
+
 def test_js_redirects_universe_semijoin(spark):
     bodies = _bodies(spark)
     feats = spark.createDataFrame(
