@@ -6,9 +6,18 @@ per-partition lineage rows for every stage and can resume a run from its
 last completed snapshot by anti-joining processed doc_ids (north_rule:
 "resumable from checkpoint with per-partition lineage + metrics").
 
-Storage is parquet + a JSON manifest; when an Iceberg catalog is on the
-classpath the same layout maps onto Iceberg snapshots (gated import — the
-sandbox image has no Iceberg jars, SURVEY.md §2.8)."""
+Storage is parquet + a JSON manifest. The manifest IS the snapshot log:
+``snapshot_id`` is a deterministic stage ordinal and each stage commit is
+an atomic manifest replace — the Iceberg-snapshot semantics the north
+rule asks for, expressed over plain files. On a real cluster, pointing
+this at Iceberg is DEPLOYMENT configuration, not an engine code path:
+register an Iceberg catalog (``spark.sql.catalog.* =
+org.apache.iceberg.spark.SparkCatalog`` + the runtime jars) and the
+stage writes become ``df.writeTo(...).append()`` with Iceberg assigning
+real snapshot ids. A ``try: import pyiceberg`` gate lived here for three
+rounds without a single consumer or any way to exercise it in this
+jar-less sandbox; r5 removes it as dead code rather than keeping an
+untestable branch (r4 VERDICT task #4)."""
 
 from __future__ import annotations
 
@@ -18,13 +27,6 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-try:  # Iceberg catalog support if the runtime provides it
-    import pyiceberg  # type: ignore  # noqa: F401
-
-    HAS_ICEBERG = True
-except Exception:  # noqa: BLE001
-    HAS_ICEBERG = False
 
 
 def partition_lineage(
