@@ -456,14 +456,100 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_forest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document forest join edges (J14 CrawledTree analogue):
-    child root ref -> parent landing key, smallest parent wins."""
-    from har2tree_spark.operators import forest  # noqa: PLC0415
+def _tree_documents_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CONFLICT-FREE binary-tree documents from `events`:
+    per user, span i gets the doc-unique key k(i+1) and links to parent
+    floor((i-1)/2) via a stage cycling by i%3 — resource (css child,
+    media '', parent embeds the child key as a text token), referer
+    (html child, media = parent key), initiator (js child, media =
+    parent key). Every non-root span has exactly ONE candidate edge and
+    every span is root-reachable, so the consume-once DFS is
+    order-independent on this corpus by construction — the class where
+    exact-mode output has a closed relational form (see
+    q_cascade_exact_acyclic)."""
+    from pyspark.sql import Window  # noqa: PLC0415
 
-    feats = _features(spark, sf_dir)
-    jr = cascade.resolve_rank(feats)
-    return forest.forest_edges(feats, jr).select("child_doc", "parent_doc")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    i = (F.row_number().over(w) - 1).cast("long")
+    n = F.count("*").over(Window.partitionBy("user_id"))
+    key = F.concat(F.lit("k"), (i + 1).cast("string"))
+    pkey = F.concat(
+        F.lit("k"), (F.floor((i - 1) / 2) + 1).cast("long").cast("string")
+    )
+    m3 = F.pmod(i, F.lit(3))
+    kind = (
+        F.when(i == 0, "html")
+        .when(m3 == 0, "css")
+        .when(m3 == 1, "html")
+        .otherwise("js")
+    )
+    media = F.when((i > 0) & m3.isin(1, 2), pkey).otherwise(F.lit(""))
+    # the child slots 2i+1 / 2i+2 are resource-kind iff (2i+1)%3==0 (i.e.
+    # i%3==1) resp. (2i+2)%3==0 (i%3==2) — mutually exclusive, so each
+    # parent embeds at most one resource token
+    tok = F.when(
+        (m3 == 1) & (2 * i + 1 < n),
+        F.concat(F.lit("k"), (2 * i + 2).cast("string")),
+    ).when(
+        (m3 == 2) & (2 * i + 2 < n),
+        F.concat(F.lit("k"), (2 * i + 3).cast("string")),
+    )
+    flat = ev.select(
+        F.concat(F.lit("t"), F.col("user_id").cast("string")).alias("doc_id"),
+        i.cast("int").alias("span_idx"),
+        kind.alias("kind"),
+        F.concat_ws(" ", key, tok).alias("text"),
+        media.alias("media_ref"),
+        (i * 10).cast("int").alias("offset"),
+    )
+    return events_spans.nest_spans(flat)
+
+
+def q_cascade_exact_acyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third independent check on the exact batch kernel (r4 VERDICT #8,
+    alongside the pycascade pytest and rank-agreement): on conflict-free,
+    fully-root-reachable documents the consume-once DFS is
+    order-independent, so its whole tree — join_kind, priority AND
+    depth — has a closed relational form a DuckDB recursive CTE can
+    replay from the base tables. The corpus is the constructed binary-
+    tree derivation (_tree_documents_from_events — that class with 100%
+    coverage; the organic events docs all carry conflicts, measured r5),
+    but the engine side still runs the REAL pipeline: parse_documents ->
+    resolve_exact, with the conflict/fallback guards computed
+    relationally on both sides rather than assumed."""
+    from har2tree_spark.operators import parse  # noqa: PLC0415
+
+    feats = parse.parse_documents(_tree_documents_from_events(spark, sf_dir))
+    # two downstream branches (fallback-doc filter + output) would re-run
+    # the mapInPandas kernel subtree per branch — cut the plan eagerly
+    exact = cascade.resolve_exact(feats).localCheckpoint()
+    edges = cascade.candidate_edges(feats, dedup=True)
+    conflicted = (
+        edges.filter(F.col("child_idx") != F.col("root_idx"))
+        .groupBy("doc_id", "child_idx")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("doc_id")
+        .distinct()
+    )
+    fallback_docs = (
+        exact.filter(F.col("join_kind").startswith("fallback"))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        exact.join(conflicted, "doc_id", "left_anti")
+        .join(fallback_docs, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("span_idx").cast("long").alias("span_idx"),
+            F.col("parent_idx").cast("long").alias("parent_idx"),
+            "join_kind",
+            F.col("priority").cast("long").alias("priority"),
+            F.col("depth").cast("long").alias("depth"),
+        )
+    )
 
 
 def q_forest_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("parent_idx").cast("long").alias("parent_idx"),
             "join_kind",
         ),
+        "cascade_exact_acyclic": q_cascade_exact_acyclic,
         "tpch_q1": q_tpch_q1,
         "topk_orders": q_topk_orders,
         "cust_no_orders": q_cust_no_orders,
@@ -1053,7 +1140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "media_dedup": q_media_dedup,
-        "forest_edges": q_forest_edges,
+        # NOTE r5: forest_edges retired from the gate registry — its output
+        # is a pure projection of forest_roots' parent_doc column (same
+        # forest_join call; operator still covered by test_forest.py), and
+        # the freed slot keeps the registry at the driver's 50-query window
+        # with cascade_exact_acyclic added (the kernel's DuckDB check).
         "forest_roots": q_forest_roots,
         "resolve_refs": q_resolve_refs,
         "geo_compact": q_geo_compact,
@@ -1314,6 +1405,90 @@ def oracle_sql() -> dict[str, str]:
              CAST(parent_idx AS BIGINT) AS parent_idx, join_kind,
              CAST(priority AS BIGINT) AS priority
       FROM rank_result"""
+
+    # The exact kernel's DuckDB check (r4 VERDICT #8): on the constructed
+    # conflict-free binary-tree corpus (see _tree_documents_from_events)
+    # the consume-once DFS is order-independent, so a recursive CTE over
+    # the candidate edges replays the kernel's exact tree — join_kind,
+    # priority AND depth — from the base events table. The conflict and
+    # full-reachability guards are recomputed relationally here too, so a
+    # construction bug shows up as a row-set mismatch, not a silent skip.
+    # redirect/frame candidate arms are structurally empty on this corpus
+    # (no redirect/iframe kinds are constructed); the engine side runs
+    # all five arms regardless.
+    out["cascade_exact_acyclic"] = """WITH RECURSIVE
+      tbase AS (
+        SELECT 't' || CAST(user_id AS VARCHAR) AS doc_id,
+               CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS i,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      tspans AS (
+        SELECT doc_id, i AS span_idx,
+               CASE WHEN i = 0 THEN 'html'
+                    WHEN i % 3 = 0 THEN 'css'
+                    WHEN i % 3 = 1 THEN 'html' ELSE 'js' END AS kind,
+               'k' || CAST(i + 1 AS VARCHAR) AS key,
+               CASE WHEN i > 0 AND i % 3 IN (1, 2)
+                    THEN 'k' || CAST(CAST(FLOOR((i - 1) / 2) AS BIGINT) + 1
+                                     AS VARCHAR)
+                    ELSE '' END AS media_ref,
+               CASE WHEN i % 3 = 1 AND 2 * i + 1 < n
+                      THEN 'k' || CAST(2 * i + 2 AS VARCHAR)
+                    WHEN i % 3 = 2 AND 2 * i + 2 < n
+                      THEN 'k' || CAST(2 * i + 3 AS VARCHAR) END AS tok
+        FROM tbase
+      ),
+      tedges AS (
+        SELECT c.doc_id, c.span_idx AS child_idx, p.span_idx AS parent_idx,
+               'initiator' AS join_kind, 3 AS priority
+        FROM tspans c JOIN tspans p
+          ON p.doc_id = c.doc_id AND c.media_ref = p.key
+        WHERE c.kind = 'js' AND c.media_ref <> '' AND c.span_idx <> p.span_idx
+        UNION ALL
+        SELECT c.doc_id, c.span_idx, p.span_idx, 'referer', 4
+        FROM tspans c JOIN tspans p
+          ON p.doc_id = c.doc_id AND c.media_ref = p.key
+        WHERE c.kind <> 'js' AND c.media_ref <> '' AND c.span_idx <> p.span_idx
+        UNION ALL
+        SELECT p.doc_id, c.span_idx, p.span_idx, 'resource', 5
+        FROM tspans p JOIN tspans c ON c.doc_id = p.doc_id AND c.key = p.tok
+        WHERE p.kind IN ('html', 'css', 'js') AND c.media_ref = ''
+          AND c.span_idx <> p.span_idx AND p.tok IS NOT NULL AND p.tok <> p.key
+      ),
+      e1 AS (
+        -- the doc root is span 0 (minimal offset by construction)
+        SELECT DISTINCT doc_id, child_idx, parent_idx, join_kind, priority
+        FROM tedges WHERE child_idx <> 0
+      ),
+      conflicted AS (
+        SELECT DISTINCT doc_id FROM e1
+        GROUP BY doc_id, child_idx HAVING COUNT(*) > 1
+      ),
+      reach AS (
+        SELECT doc_id, CAST(0 AS BIGINT) AS span_idx, -1 AS parent_idx,
+               'root' AS join_kind, 0 AS priority, 0 AS depth
+        FROM tspans WHERE span_idx = 0
+          AND doc_id NOT IN (SELECT doc_id FROM conflicted)
+        UNION ALL
+        SELECT e.doc_id, e.child_idx, e.parent_idx, e.join_kind,
+               e.priority, t.depth + 1
+        FROM reach t
+        JOIN e1 e ON e.doc_id = t.doc_id AND e.parent_idx = t.span_idx
+      ),
+      live_counts AS (SELECT doc_id, COUNT(*) AS n_live FROM tspans GROUP BY doc_id),
+      reach_counts AS (SELECT doc_id, COUNT(*) AS n_reach FROM reach GROUP BY doc_id),
+      full_docs AS (
+        SELECT rc.doc_id FROM reach_counts rc
+        JOIN live_counts lc ON lc.doc_id = rc.doc_id
+        WHERE rc.n_reach = lc.n_live
+      )
+      SELECT r.doc_id, CAST(r.span_idx AS BIGINT) AS span_idx,
+             CAST(r.parent_idx AS BIGINT) AS parent_idx, r.join_kind,
+             CAST(r.priority AS BIGINT) AS priority,
+             CAST(r.depth AS BIGINT) AS depth
+      FROM reach r JOIN full_docs f ON f.doc_id = r.doc_id"""
 
     lvl_selects = []
     prev = None
@@ -1761,7 +1936,10 @@ def oracle_sql() -> dict[str, str]:
             FROM s)
       WHERE rk <= 5"""
 
-    out["forest_edges"] = f"""{cte}, {_CASCADE_EDGES_SQL.strip()},
+    # forest_edges is no longer a registered gate query (r5: subsumed by
+    # forest_roots' parent_doc column) but its SQL remains the core the
+    # forest_roots oracle is assembled from
+    forest_edges_sql = f"""{cte}, {_CASCADE_EDGES_SQL.strip()},
       root_rows AS (
         SELECT r.doc_id, r.root_idx, l.key AS root_key, l.media_ref AS root_ref
         FROM roots r JOIN live l ON l.doc_id = r.doc_id AND l.span_idx = r.root_idx
@@ -1981,7 +2159,7 @@ def oracle_sql() -> dict[str, str]:
     # ---- forest_roots: forest edges + exact pointer-doubling replay ------
     # doubling for t iterations is idempotent once converged, so a fixed
     # 10-step CTE chain replays forest.forest_roots (early-exit included)
-    forest_core = out["forest_edges"].split("SELECT child_doc, parent_doc FROM (", 1)
+    forest_core = forest_edges_sql.split("SELECT child_doc, parent_doc FROM (", 1)
     # MATERIALIZED is required: DuckDB inlines plain CTEs, so d10 would
     # otherwise expand to 2^10 copies of d0 (and 2^10 parquet re-opens)
     doubling = ["""d0 AS MATERIALIZED (

@@ -78,7 +78,12 @@ def flat_spans_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def documents_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested documents(doc_id, spans) — the engine's input_hint shape."""
-    flat = flat_spans_from_events(spark, sf_dir)
+    return nest_spans(flat_spans_from_events(spark, sf_dir))
+
+
+def nest_spans(flat: DataFrame) -> DataFrame:
+    """(doc_id, span_idx, kind, text, media_ref, offset) flat rows ->
+    documents(doc_id, spans) in span_idx order."""
     nested = (
         flat.groupBy("doc_id")
         .agg(
