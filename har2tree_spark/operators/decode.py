@@ -62,9 +62,11 @@ empty form value). Arms, in dispatch priority:
                     before any mimetype dispatch)
   form-urlencoded-> '+' -> space normalization         (nodes.py:307-323;
                     k=v&k=v grammar with valid %XX escapes. Full
-                    percent-decoding is a one-line swap to F.url_decode —
-                    not active because the oracle dialect (DuckDB 1.0) has
-                    no url_decode to mirror it. NOTE: a single trailing-'='
+                    percent-decoding — the reference's parse_qs value
+                    semantics — is implemented behind
+                    ``full_percent_decode=True`` (F.try_url_decode);
+                    default OFF because the oracle dialect (DuckDB 1.0)
+                    has no url_decode to mirror. NOTE: a single trailing-'='
                     base64 fragment like 'QQ=' parses as a form pair with an
                     empty value under shape dispatch; with a declared
                     mimetype the reference would base64-retry it instead —
@@ -120,8 +122,22 @@ def _unb64(c: Column) -> Column:
     return F.unbase64(c).cast("string")
 
 
-def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Adds (decode_kind, decode_ok, decoded, decoded_size)."""
+def decode_dispatch(
+    df: DataFrame,
+    payload_col: str = "payload",
+    full_percent_decode: bool = False,
+) -> DataFrame:
+    """Adds (decode_kind, decode_ok, decoded, decoded_size).
+
+    ``full_percent_decode=True`` switches the form-urlencoded arm from
+    '+'-to-space normalization to full application/x-www-form-urlencoded
+    decoding (``F.try_url_decode``: %XX unescape + '+' -> space — the
+    reference's ``parse_qs`` value semantics, nodes.py:307-323). Default
+    OFF because the driver-gate oracle dialect (DuckDB 1.0) has no
+    url_decode to mirror; the gate ensures every '%' opens a valid %XX
+    escape either way, so the try_ variant's null branch never fires on
+    dispatched rows (coalesce kept as belt-and-braces). Only the form
+    arm's ``decoded``/``decoded_size`` change with the flag."""
     p = F.col(payload_col)
     is_gzip_garbled = p.startswith(GZIP_GARBLED_PREFIX)
     is_data = p.startswith("data:")
@@ -221,7 +237,12 @@ def decode_dispatch(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(u_padded, _unb64(std))
         .when(u_fixable, _unb64(u_repadded))
         .when(u_trailpad, _unb64(u_stripped))
-        .when(formish, F.translate(p, "+", " "))
+        .when(
+            formish,
+            F.coalesce(F.try_url_decode(p), F.translate(p, "+", " "))
+            if full_percent_decode
+            else F.translate(p, "+", " "),
+        )
         .when(
             json_streamish,
             F.concat(F.lit("["), F.regexp_replace(p, "\\}\\{", "},{"), F.lit("]")),

@@ -282,6 +282,52 @@ def test_decode_blackbox_and_trailpad_arms(spark):
             assert r.decoded == wdec, (p, r.decoded, wdec)
 
 
+def test_decode_form_full_percent_decode_flag(spark):
+    """``full_percent_decode=True`` gives the form arm the reference's
+    parse_qs value semantics (nodes.py:307-323): %XX unescape + '+' ->
+    space, i.e. urllib.parse.unquote_plus. Pinned against the stdlib on
+    every payload, and the flag must change NOTHING outside the form arm
+    (kind/ok everywhere; decoded on non-form rows)."""
+    from urllib.parse import unquote_plus
+
+    payloads = [
+        "a=b",
+        "a=b&c=d+e",
+        "q=%41%42%43",
+        "k=%E2%82%AC+sign",  # UTF-8 multibyte escape
+        "a=%2B&plus=+",  # literal '+' escaped vs space
+        "weird=%00",
+        # non-form rows: flag must be a no-op on these
+        "QUJD",
+        "data:application/x-protobuf,xyz",
+        '{"a": 1}',
+        "plain text!",
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "span_idx int, payload string"
+    )
+    off = {r.span_idx: r for r in decode.decode_dispatch(df).collect()}
+    on = {
+        r.span_idx: r
+        for r in decode.decode_dispatch(df, full_percent_decode=True).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert on[i].decode_kind == off[i].decode_kind, p
+        assert on[i].decode_ok == off[i].decode_ok, p
+        if off[i].decode_kind == "form_urlencoded":
+            assert on[i].decoded == unquote_plus(p), (p, on[i].decoded)
+            assert on[i].decoded_size == len(on[i].decoded)
+        else:
+            assert on[i].decoded == off[i].decoded, p
+            assert on[i].decoded_size == off[i].decoded_size, p
+    # non-vacuous: at least one escaped payload actually differs flag-on
+    assert any(
+        on[i].decoded != off[i].decoded
+        for i, p in enumerate(payloads)
+        if off[i].decode_kind == "form_urlencoded"
+    )
+
+
 def test_scalar_families_total_on_arbitrary_text(spark):
     """Totality fuzz across the scalar families: key_class, ref_cleanup,
     quality features, fingerprint and soup_features must process ANY
