@@ -152,3 +152,46 @@ def test_rank_mode_contract(spark):
     roots = out[out.join_kind == "root"]
     assert (roots.parent_idx == -1).all()
     assert set(out.join_kind.unique()) <= set(PRIORITY.keys())
+
+
+def test_stack_walk_cross_engine_fuzz(spark):
+    """F21 grammar law: the JVM expression `parse._resolve_media` and the
+    Python oracle `pycascade._resolve_media` must agree on ARBITRARY
+    media_ref strings — empty levels, spaces-only levels, pipes at every
+    position, no 'stack:' prefix, unicode, and 'stack:' alone (reference
+    nodes.py:602-616,643-649: first frame of the first non-empty level,
+    empty first frame = no pointer)."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from har2tree_spark.operators import parse as parse_mod
+
+    rng = random.Random(7)
+    alphabet = string.ascii_lowercase + "0123456789|: é"
+    vals = []
+    for _ in range(300):
+        if rng.random() < 0.7:
+            levels = [
+                " ".join(
+                    "".join(rng.choices(alphabet.replace("|", ""), k=rng.randrange(0, 6)))
+                    for _ in range(rng.randrange(0, 4))
+                )
+                for _ in range(rng.randrange(0, 5))
+            ]
+            vals.append("stack:" + "|".join(levels))
+        else:
+            vals.append("".join(rng.choices(alphabet, k=rng.randrange(0, 20))))
+    vals += ["stack:", "stack:|", "stack:||", "stack: ", "stack:| |x", "k1",
+             "", "stack:stack:a|b", "stack: x y|z"]
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, m string")
+    got = {
+        r.i: r.out
+        for r in df.select(
+            "i", parse_mod._resolve_media(F.col("m")).alias("out")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == pycascade._resolve_media(v), (v, got[i])
