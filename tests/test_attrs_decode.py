@@ -220,13 +220,21 @@ def test_decode_dispatch_never_throws_fuzz(spark):
     df = spark.createDataFrame(
         [(i, p) for i, p in enumerate(payloads)], "span_idx int, payload string"
     )
-    rows = decode.decode_dispatch(df).collect()  # must not raise
-    assert len(rows) == len(payloads)
-    for r in rows:
-        assert r.decode_kind in kinds, (r.payload, r.decode_kind)
-        assert r.decoded is not None and r.decode_ok is not None
-        assert r.decoded_size is not None
-        assert (r.decoded_size == 0) == (r.decoded == ""), (r.payload, r.decoded)
+    # both form-arm variants must satisfy totality (the flag swaps in
+    # try_url_decode, whose null branch the coalesce must absorb)
+    for flag in (False, True):
+        rows = decode.decode_dispatch(
+            df, full_percent_decode=flag
+        ).collect()  # must not raise
+        assert len(rows) == len(payloads)
+        for r in rows:
+            assert r.decode_kind in kinds, (r.payload, r.decode_kind)
+            assert r.decoded is not None and r.decode_ok is not None
+            assert r.decoded_size is not None
+            assert (r.decoded_size == 0) == (r.decoded == ""), (
+                r.payload,
+                r.decoded,
+            )
 
 
 def test_decode_urlsafe_base64(spark):
