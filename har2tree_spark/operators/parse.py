@@ -95,14 +95,20 @@ def parse_documents(docs: DataFrame, keep_dropped: bool = False) -> DataFrame:
             (F.coalesce(s["kind"], F.lit("")) != "empty").alias("valid"),
         ),
     )
-    # status-0 dedup (P2): invalid span whose key also has a valid twin
+    # status-0 dedup (P2): invalid span whose key also has a valid twin.
+    # eqNullSafe, not ==: with a plain equality a key-less sibling span makes
+    # the exists() predicate NULL, and exists(no-true, some-null) is NULL —
+    # which then leaks through `suppressed`/`dropped` and silently drops a
+    # lone invalid span in the live filter (SQL EXISTS — the DuckDB oracle —
+    # treats those rows as non-matching, so null-safe IS the oracle
+    # semantics; found by the real-HAR corpus, tests/test_har_source.py).
     parsed = F.transform(
         parsed,
         lambda p: p.withField(
             "suppressed",
             ~p["valid"]
             & p["key"].isNotNull()
-            & F.exists(parsed, lambda q: q["valid"] & (q["key"] == p["key"])),
+            & F.exists(parsed, lambda q: q["valid"] & q["key"].eqNullSafe(p["key"])),
         ),
     )
     # P1: featureless spans never participate in joins

@@ -1,0 +1,396 @@
+"""Real-HAR ingestion: HAR JSON files -> documents(doc_id, spans).
+
+The engine's whole input domain is the re-grounded
+``documents(doc_id, spans:array<struct<kind,text,media_ref,offset>>)`` table
+(BASELINE.json input_hint); the reference's whole input domain is HAR JSON
+captures (reference har2tree.py:101-196).  This module is the bridge: it maps
+each HAR file to one document whose span sequence encodes exactly the
+relations the reference extracts per entry, so the unchanged downstream
+pipeline (parse -> cascade -> tiling -> stats) builds the same tree shape the
+reference builds from the same capture.
+
+Mapping dictionary (SURVEY.md SS1.2, reference file:line):
+
+  * one HAR file                -> one document row (har2tree.py:101-119;
+                                   gzipped HARs accepted, 108-111)
+  * entry order                 -> spans sorted by ``startedDateTime``
+                                   (stable), offset = rank*10
+                                   (har2tree.py:181-183)
+  * request URL                 -> span key: ``unquote_plus`` normalized
+                                   (har2tree.py:331,586) then hashed into the
+                                   canonical ``k<int>`` key grammar
+                                   (parse.KEY_TOKEN_RE) -- deterministic
+                                   per-URL, no cross-file coordination, so
+                                   the same URL keys identically in every
+                                   document (the forest/referer join
+                                   contract, parser.py:16-72)
+  * empty request URL           -> featureless span (text='') -> dropped by
+                                   the engine's P1 filter, the reference's
+                                   ignore-list (har2tree.py:587-589)
+  * status <= 0                 -> kind 'empty' -> the engine's P2 dedup
+                                   suppresses it iff a valid twin exists,
+                                   else it stays in the tree -- the
+                                   reference's exact rule (har2tree.py:575-603)
+  * response.redirectURL        -> kind 'redirect', media_ref = target key
+                                   (urljoin + trailing-slash repair vs the
+                                   doc's URL universe -- the spirit of
+                                   rebuild_url, helper.py; unresolvable
+                                   targets keep their hash key and fall to
+                                   the spatial fallback, mirroring the
+                                   reference's "redirect to nowhere" warning
+                                   path har2tree.py:929-935)
+  * _initiator url (parser)     -> media_ref = initiator key (nodes.py:598-601)
+  * _initiator stack (script)   -> media_ref = 'stack:<lvl0>|<lvl1>|...'
+                                   per level a space-joined callFrame key
+                                   list, empty-URL frames as empty tokens --
+                                   the engine's pre-flattened F21 grammar
+                                   (operators/parse._resolve_media;
+                                   reference nodes.py:602-616,643-649)
+  * Referer header              -> media_ref = referer key when no
+                                   redirect/initiator claimed the span
+                                   (har2tree.py:906-910 referer cascade arm)
+  * response body (mimetype)    -> span kind via the mimetype class
+                                   (nodes.py:556-567); embedded resource
+                                   URLs extracted with the SAME parser the
+                                   soup operator uses (_parse_markup_events
+                                   + the CSS regex arms) and appended to the
+                                   span text as key tokens iff they resolve
+                                   against the doc's URL universe -- the
+                                   resource cascade arm
+                                   (find_external_ressources, helper.py:356-466)
+
+Scale posture: files are distributed by Spark's ``binaryFile`` source (one
+task per file group, no driver loop); per-file JSON decode runs inside an
+Arrow-batched ``mapInPandas`` -- the ingest boundary is per *file*, exactly
+like the reference's ``json.load``, but parallel across executors.  All
+per-span analytics stay in the unchanged engine operators downstream.
+
+Known extension hooks, deliberately not implemented because no corpus in
+``/root/reference/tests/data`` exercises them: the 5 sidecar files
+(har2tree.py:127-179 -- last_redirect.txt / cookies.json / frames.json /
+.data / rendered .html) and multi-page pageref splitting (the engine's W5
+pages-root fill covers the in-tree effect).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import json
+import re
+from urllib.parse import unquote_plus, urljoin
+
+from har2tree_spark.operators.soup import (
+    CSS_IMPORT_RE,
+    CSS_URL_RE,
+    _parse_markup_events,
+)
+from har2tree_spark.schema import DOCUMENTS_SCHEMA
+
+# key_num in [1, 10^15-1]: matches parse.KEY_TOKEN_RE (<=15 digits, no
+# leading zeros) and stays < 2^53 so the key<->float64 round trip is exact.
+_KEY_MOD = 10**15 - 1
+
+_CSS_URL = re.compile(CSS_URL_RE)
+_CSS_IMPORT = re.compile(CSS_IMPORT_RE)
+
+
+def url_key(url: str) -> str:
+    """Deterministic canonical key for a (normalized) URL string.
+
+    sha256-based so identical URLs key identically across files, executors
+    and runs with zero coordination -- the property that lets referer /
+    redirect / forest joins work at any scale without a global URL
+    dictionary."""
+    h = hashlib.sha256(url.encode("utf-8", "surrogatepass")).digest()
+    return "k" + str(int.from_bytes(h[:8], "big") % _KEY_MOD + 1)
+
+
+def _norm(url: str) -> str:
+    """The reference's URL normalization for indexing/matching
+    (unquote_plus, har2tree.py:331,586)."""
+    return unquote_plus(url)
+
+
+def _kind_of(status: int, mimetype: str, resource_type: str, redirect: bool) -> str:
+    """HAR entry -> engine span kind (mimetype class resolution,
+    reference nodes.py:556-567; F13)."""
+    if redirect:
+        return "redirect"
+    if status <= 0:
+        return "empty"
+    mt = (mimetype or "").lower()
+    rt = (resource_type or "").lower()
+    if "html" in mt or rt == "document":
+        return "html"
+    if "css" in mt or rt == "stylesheet":
+        return "css"
+    if "javascript" in mt or "ecmascript" in mt or rt == "script":
+        return "js"
+    if mt.startswith("image") or rt == "image":
+        return "img"
+    if mt.startswith("video"):
+        return "video"
+    if mt.startswith("audio"):
+        return "audio"
+    return "text"
+
+
+def _header(entry: dict, name: str) -> str:
+    """Case-insensitive request-header lookup (har2tree.py:255-260)."""
+    for h in entry.get("request", {}).get("headers", ()):
+        if str(h.get("name", "")).lower() == name:
+            return str(h.get("value", ""))
+    return ""
+
+
+def _stack_levels(stack: dict) -> list[str]:
+    """Flatten an _initiator.stack chain into the engine's F21 grammar:
+    one '|'-separated level per stack.parent hop, each level a
+    space-joined callFrame key list with empty-URL frames kept as empty
+    tokens (reference nodes.py:602-616)."""
+    levels: list[str] = []
+    seen = 0
+    while isinstance(stack, dict) and seen < 64:  # defensive depth cap
+        frames = stack.get("callFrames") or []
+        levels.append(
+            " ".join(
+                url_key(_norm(f["url"])) if f.get("url") else ""
+                for f in frames
+                if isinstance(f, dict)
+            )
+        )
+        stack = stack.get("parent")  # type: ignore[assignment]
+        seen += 1
+    return levels
+
+
+def _initiator_media(entry: dict) -> str:
+    init = entry.get("_initiator")
+    if not isinstance(init, dict):
+        return ""
+    if init.get("url"):
+        return url_key(_norm(str(init["url"])))
+    if isinstance(init.get("stack"), dict):
+        return "stack:" + "|".join(_stack_levels(init["stack"]))
+    return ""
+
+
+def _redirect_media(entry: dict, url: str, universe: set[str]) -> str:
+    """Resolve response.redirectURL to a target key.  urljoin + the
+    trailing-slash repair against the doc's URL universe (the pragmatic
+    core of the reference's rebuild_url, helper.py); a target outside the
+    universe keeps its hash key and will take the spatial-fallback path."""
+    target = str(entry.get("response", {}).get("redirectURL", "") or "")
+    resolved = _norm(urljoin(url, target))
+    if resolved not in universe and resolved + "/" in universe:
+        resolved += "/"
+    return url_key(resolved)
+
+
+def _body_text(entry: dict) -> str:
+    """Decoded response body text ('' when absent) -- the reference's body
+    feature incl. the dirty-safe-b64 arm (nodes.py:540-553)."""
+    content = entry.get("response", {}).get("content", {}) or {}
+    text = content.get("text") or ""
+    if not text:
+        return ""
+    if content.get("encoding") == "base64":
+        import base64  # noqa: PLC0415
+
+        try:
+            pad = (-len(text)) % 4
+            return base64.b64decode(text + "=" * pad).decode("utf-8", "replace")
+        except Exception:  # noqa: BLE001 -- reference falls back to raw
+            return text
+    return str(text)
+
+
+def _resource_tokens(body: str, base_url: str, universe: set[str], own: str) -> list[str]:
+    """Embedded-resource keys for a markup body: the soup operator's real
+    parser for tag attributes plus its CSS regex arms, each candidate
+    resolved against the base URL and kept iff it is another request in
+    this document (find_external_ressources' all_requests gate,
+    helper.py:356-466)."""
+    _, refs = _parse_markup_events(body)
+    refs = list(refs) + _CSS_URL.findall(body) + _CSS_IMPORT.findall(body)
+    out: list[str] = []
+    seen: set[str] = set()
+    for ref in refs:
+        ref = ref.strip()
+        if not ref or ref.startswith(("data:", "javascript:", "about:")):
+            continue
+        resolved = _norm(urljoin(base_url, ref))
+        if resolved in universe:
+            k = url_key(resolved)
+            if k != own and k not in seen:
+                seen.add(k)
+                out.append(k)
+    return out
+
+
+def _sorted_entries(har: dict) -> list[dict]:
+    """Entries in startedDateTime order (stable -- har2tree.py:181-183)."""
+    entries = har.get("log", {}).get("entries", []) or []
+    return sorted(entries, key=lambda e: str(e.get("startedDateTime", "")))
+
+
+def har_to_doc(doc_id: str, har: dict) -> dict:
+    """One parsed HAR dict -> one documents-table row."""
+    entries = _sorted_entries(har)
+    universe = {
+        _norm(str(e.get("request", {}).get("url", "")))
+        for e in entries
+        if e.get("request", {}).get("url")
+    }
+    spans = []
+    for i, e in enumerate(entries):
+        raw_url = str(e.get("request", {}).get("url", "") or "")
+        if not raw_url:
+            # empty-URL entry: featureless span, dropped by P1 exactly like
+            # the reference's ignore-list (har2tree.py:587-589)
+            spans.append({"kind": "text", "text": "", "media_ref": "", "offset": i * 10})
+            continue
+        url = _norm(raw_url)
+        own = url_key(url)
+        status = int(e.get("response", {}).get("status", 0) or 0)
+        redirect = bool(e.get("response", {}).get("redirectURL"))
+        kind = _kind_of(
+            status,
+            str(e.get("response", {}).get("content", {}).get("mimeType", "") or ""),
+            str(e.get("_resourceType", "") or ""),
+            redirect and status > 0,
+        )
+        if redirect and status > 0:
+            media = _redirect_media(e, raw_url, universe)
+        else:
+            media = _initiator_media(e)
+            if not media:
+                ref = _header(e, "referer")
+                if ref:
+                    media = url_key(_norm(ref))
+        tokens = [own]
+        if kind in ("html", "css", "js"):
+            body = _body_text(e)
+            if body:
+                tokens += _resource_tokens(body, raw_url, universe, own)
+        spans.append(
+            {
+                "kind": kind,
+                "text": " ".join(tokens),
+                "media_ref": media,
+                "offset": i * 10,
+            }
+        )
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def _load_har_bytes(blob: bytes) -> dict:
+    """HAR JSON, transparently gunzipped (har2tree.py:108-111)."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = gzip.decompress(blob)
+    return json.loads(blob.decode("utf-8", "replace"))
+
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/+")
+
+
+def _doc_id_of(path: str, root: str) -> str:
+    # Hadoop paths render as file:/x or hdfs://host/x — strip either form
+    p = _SCHEME_RE.sub("/", path)
+    r = _SCHEME_RE.sub("/", root).rstrip("/")
+    if p.startswith(r + "/"):
+        p = p[len(r) + 1 :]
+    for suffix in (".har.gz", ".har"):
+        if p.endswith(suffix):
+            p = p[: -len(suffix)]
+            break
+    return p
+
+
+def read_har_dir(spark, path: str, pattern: str = "*.har"):
+    """Directory of HAR files -> documents DataFrame (DOCUMENTS_SCHEMA).
+
+    Distributed: the binaryFile source assigns files to tasks; each task
+    parses its files inside one Arrow batch -- no driver-side loop, no
+    per-span Python (all span analytics happen in the engine operators
+    downstream)."""
+    import pandas as pd  # noqa: PLC0415
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                har_to_doc(_doc_id_of(p, path), _load_har_bytes(c))
+                for p, c in zip(pdf["path"].tolist(), pdf["content"].tolist())
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return raw.mapInPandas(run, schema=DOCUMENTS_SCHEMA)
+
+
+def read_har_bodies(spark, path: str, pattern: str = "*.har"):
+    """Auxiliary flat scan: (doc_id, span_idx, url, mimetype, body, post)
+    per entry with a non-empty decoded body or POST payload -- the feed for
+    exercising the soup (F17/F18) and decode (F9/F10/F14) operators on real
+    capture payloads."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("span_idx", T.IntegerType(), False),
+            T.StructField("url", T.StringType(), True),
+            T.StructField("mimetype", T.StringType(), True),
+            T.StructField("body", T.StringType(), True),
+            T.StructField("post", T.StringType(), True),
+        ]
+    )
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for p, c in zip(pdf["path"].tolist(), pdf["content"].tolist()):
+                doc_id = _doc_id_of(p, path)
+                for i, e in enumerate(_sorted_entries(_load_har_bytes(c))):
+                    body = _body_text(e)
+                    post = str(
+                        (e.get("request", {}).get("postData", {}) or {}).get("text", "")
+                        or ""
+                    )
+                    if body or post:
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "span_idx": i,
+                                "url": str(e.get("request", {}).get("url", "") or ""),
+                                "mimetype": str(
+                                    e.get("response", {})
+                                    .get("content", {})
+                                    .get("mimeType", "")
+                                    or ""
+                                ),
+                                "body": body,
+                                "post": post,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "span_idx", "url", "mimetype", "body", "post"]
+            )
+
+    return raw.mapInPandas(run, schema=schema)
