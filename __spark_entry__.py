@@ -1002,6 +1002,89 @@ def q_tree_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tree_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 cyclic-capable exporter, ORACLED (r5 VERDICT #2): the REAL
+    visited-set island DFS (export.tree_json — the path q_tree_export's
+    acyclicization bypasses) run over synthesized per-doc parent pointers
+    that contain genuine cycles: per doc (one per events user) a mode by
+    user_id%4 — 0: rooted chain (acyclic control); 1: 2-cycle at spans
+    {0,1} with the chain hanging off; 2: 3-cycle at {0,1,2}; 3: a rooted
+    tree PLUS a separate 2-cycle island at {2,3} (exercises the
+    multi-tree '[...]' wrapper).
+
+    Why this is value-exact-checkable: in a consume-once parent map,
+    cycles are never reachable from a root (their parent chains loop
+    instead of reaching -1), so the exporter reaches them only through
+    the island sweep, which starts at the smallest unvisited span. Every
+    cycle here contains its component's smallest span BY CONSTRUCTION,
+    so the island sweep enters each cyclic component exactly at the
+    smallest cycle member and drops only that member's outgoing
+    back-edge — i.e. the exporter's output equals "re-root the minimum
+    member of every cycle, then serialize the acyclic forest", which the
+    DuckDB oracle replays with a path-array-guarded recursive CTE that
+    DISCOVERS the cycles (it does not assume their location) followed by
+    the same DFS-path string_agg as the tree_export oracle."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from har2tree_spark.operators import export  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    i = (F.row_number().over(w) - 1).cast("long")
+    n = F.count("*").over(Window.partitionBy("user_id"))
+    uid = F.col("user_id").cast("long")
+    m = F.pmod(uid, F.lit(4))
+    mode = (
+        F.when((m == 1) & (n >= 2), 1)
+        .when((m == 2) & (n >= 3), 2)
+        .when((m == 3) & (n >= 4), 3)
+        .otherwise(0)
+    )
+    chain = F.when(i == 0, -1).otherwise(i - 1)
+    parent = (
+        F.when(mode == 1, F.when(i == 0, 1).when(i == 1, 0).otherwise(i - 1))
+        .when(
+            mode == 2,
+            F.when(i == 0, 1).when(i == 1, 2).when(i == 2, 0).otherwise(i - 1),
+        )
+        .when(
+            mode == 3,
+            F.when(i == 0, -1)
+            .when(i == 1, 0)
+            .when(i == 2, 3)
+            .when(i == 3, 2)
+            .otherwise(i - 1),
+        )
+        .otherwise(chain)
+    )
+    in_cycle = (
+        ((mode == 1) & (i <= 1)) | ((mode == 2) & (i <= 2)) | ((mode == 3) & i.isin(2, 3))
+    )
+    jk = (
+        F.when(parent == -1, "root").when(in_cycle, "redirect").otherwise("referer")
+    )
+    m4 = F.pmod(i, F.lit(4))
+    kind = (
+        F.when(m4 == 0, "html").when(m4 == 1, "js").when(m4 == 2, "css").otherwise("img")
+    )
+    flat = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("doc_id"),
+        i.cast("int").alias("span_idx"),
+        parent.cast("int").alias("parent_idx"),
+        jk.alias("join_kind"),
+        kind.alias("kind"),
+        n.cast("int").alias("n_live"),
+    )
+    jr = flat.select("doc_id", "span_idx", "parent_idx", "join_kind")
+    feats = flat.select("doc_id", "span_idx", "kind", "n_live")
+    t = export.tree_json(jr, feats)
+    return t.select(
+        "doc_id",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.md5("tree").alias("tree_md5"),
+    )
+
+
 def q_sidecar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 sidecar scan: optional per-doc companion columns attach as
     nullable columns via a doc-keyed left join (har2tree.py:105-150
@@ -1157,7 +1240,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identifiers": q_identifiers,
         "key_class": q_key_class,
         "decode_dispatch": q_decode_dispatch,
-        "tree_json": q_tree_json,
+        # NOTE r6: tree_json (rows-only) retired from the gate registry —
+        # its acyclic core is value-exact via tree_export, and its
+        # cycle-breaking core is now value-exact via tree_cyclic (the REAL
+        # exporter over a constructed cyclic corpus with a DuckDB
+        # recursive-CTE cycle-discovery oracle); the organic-cycle path
+        # stays pytest-golden-covered (tests/test_export.py). This keeps
+        # the registry at the driver's 50-query window and shrinks the
+        # no-oracle surface to geo_cascade_exact alone.
+        "tree_cyclic": q_tree_cyclic,
         "tree_export": q_tree_export,
         "stream_agg": q_stream_agg,
         "soup_features": q_soup_features,
@@ -1399,6 +1490,115 @@ def oracle_sql() -> dict[str, str]:
                  || repeat(']}}', depth - next_depth + 1),
                '' ORDER BY path)) AS tree_md5
       FROM ser GROUP BY doc_id""").replace("WITH ", "WITH RECURSIVE ", 1)
+
+    # Cyclic exporter replay (see q_tree_cyclic's docstring for the
+    # order-independence argument). The walk CTE discovers cycles with a
+    # path-array guard; starts are limited to span_idx < 8 — a strict
+    # superset of any span a cycle can touch in this corpus (cycles are
+    # confined to the component head by construction), which keeps the
+    # walk O(n) instead of O(n^2) per doc without assuming WHERE the
+    # cycle is within that head.
+    out["tree_cyclic"] = """WITH RECURSIVE
+      cbase AS (
+        SELECT 'c' || CAST(user_id AS VARCHAR) AS doc_id,
+               CAST(user_id AS BIGINT) AS uid,
+               CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS i,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      cmode AS (
+        SELECT *, CASE WHEN uid % 4 = 1 AND n >= 2 THEN 1
+                       WHEN uid % 4 = 2 AND n >= 3 THEN 2
+                       WHEN uid % 4 = 3 AND n >= 4 THEN 3
+                       ELSE 0 END AS mode
+        FROM cbase
+      ),
+      cparents AS (
+        SELECT doc_id, i AS span_idx,
+               CASE WHEN mode = 1 THEN
+                      CASE WHEN i = 0 THEN 1 WHEN i = 1 THEN 0 ELSE i - 1 END
+                    WHEN mode = 2 THEN
+                      CASE WHEN i = 0 THEN 1 WHEN i = 1 THEN 2
+                           WHEN i = 2 THEN 0 ELSE i - 1 END
+                    WHEN mode = 3 THEN
+                      CASE WHEN i = 0 THEN -1 WHEN i = 1 THEN 0
+                           WHEN i = 2 THEN 3 WHEN i = 3 THEN 2 ELSE i - 1 END
+                    ELSE CASE WHEN i = 0 THEN -1 ELSE i - 1 END
+               END AS parent_idx,
+               CASE WHEN (mode = 1 AND i <= 1) OR (mode = 2 AND i <= 2)
+                      OR (mode = 3 AND i IN (2, 3)) THEN TRUE
+                    ELSE FALSE END AS in_cycle,
+               CASE WHEN i % 4 = 0 THEN 'html' WHEN i % 4 = 1 THEN 'js'
+                    WHEN i % 4 = 2 THEN 'css' ELSE 'img' END AS kind
+        FROM cmode
+      ),
+      cp AS (
+        SELECT doc_id, span_idx, parent_idx, kind,
+               CASE WHEN parent_idx = -1 THEN 'root'
+                    WHEN in_cycle THEN 'redirect'
+                    ELSE 'referer' END AS join_kind
+        FROM cparents
+      ),
+      walk AS (
+        SELECT doc_id, parent_idx AS nxt, [span_idx] AS path
+        FROM cp WHERE span_idx < 8
+        UNION ALL
+        SELECT w.doc_id, p.parent_idx, list_append(w.path, p.span_idx)
+        FROM walk w JOIN cp p
+          ON p.doc_id = w.doc_id AND p.span_idx = w.nxt
+        WHERE w.nxt >= 0 AND NOT list_contains(w.path, w.nxt)
+      ),
+      reroots AS (
+        SELECT DISTINCT doc_id,
+               list_min(path[list_position(path, nxt):]) AS span_idx
+        FROM walk WHERE nxt >= 0 AND list_contains(path, nxt)
+      ),
+      cp2 AS (
+        SELECT c.doc_id, c.span_idx,
+               CASE WHEN r.span_idx IS NOT NULL THEN -1
+                    ELSE c.parent_idx END AS parent_idx,
+               c.join_kind, c.kind
+        FROM cp c LEFT JOIN reroots r
+          ON r.doc_id = c.doc_id AND r.span_idx = c.span_idx
+      ),
+      crec AS (
+        SELECT doc_id, span_idx, [span_idx] AS path
+        FROM cp2 WHERE parent_idx = -1
+        UNION ALL
+        SELECT a.doc_id, a.span_idx, list_append(r.path, a.span_idx)
+        FROM cp2 a JOIN crec r
+          ON r.doc_id = a.doc_id AND r.span_idx = a.parent_idx
+      ),
+      cord AS (
+        SELECT r.doc_id, r.span_idx, r.path, len(r.path) - 1 AS depth,
+               a.kind, a.join_kind,
+               ROW_NUMBER() OVER (PARTITION BY r.doc_id, a.parent_idx
+                                  ORDER BY r.span_idx) AS sib_rn
+        FROM crec r JOIN cp2 a
+          ON a.doc_id = r.doc_id AND a.span_idx = r.span_idx
+      ),
+      cser AS (
+        SELECT doc_id, path, depth, sib_rn,
+               LEAD(depth, 1, 0) OVER (PARTITION BY doc_id ORDER BY path)
+                 AS next_depth,
+               '{"span_idx":' || span_idx || ',"kind":"' || kind
+                 || '","join_kind":"' || join_kind || '","children":[' AS opn
+        FROM cord
+      ),
+      cagg AS (
+        SELECT doc_id, COUNT(*) AS n_nodes,
+               COUNT(CASE WHEN depth = 0 THEN 1 END) AS n_roots,
+               string_agg(
+                 (CASE WHEN sib_rn > 1 THEN ',' ELSE '' END) || opn
+                   || repeat(']}', depth - next_depth + 1),
+                 '' ORDER BY path) AS body
+        FROM cser GROUP BY doc_id
+      )
+      SELECT doc_id, CAST(n_nodes AS BIGINT) AS n_nodes,
+             md5(CASE WHEN n_roots > 1 THEN '[' || body || ']'
+                      ELSE body END) AS tree_md5
+      FROM cagg"""
 
     out["geo_cascade_rank"] = f"""{cte}, {_CASCADE_EDGES_SQL.strip()}
       SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,

@@ -69,6 +69,13 @@ def read_documents_json(
     # Constant-false, but Catalyst cannot fold it (non-foldable children,
     # no range analysis on hash outputs) — it survives to the scan filter
     # and pins the JSON required schema to every data column.
+    # SPARK-VERSION DEPENDENCE (r5 ADVICE): this relies on no optimizer
+    # rule ever folding `xxhash64(...) < LONG_MIN` to false. Spark 4.1 has
+    # no such rule; if a future version grows extreme-value folding, the
+    # projection-dependent malformed-row leak would silently reopen. The
+    # regression test (test_json_source.py narrow-projection case) is the
+    # guard — if it starts failing on a Spark upgrade, replace the pin by
+    # referencing all columns in the quarantine-side to_json projection.
     parse_pin = F.xxhash64(*data_cols) < F.lit(-(2**63))
     bad = F.col(CORRUPT_COL).isNotNull() | F.col("doc_id").isNull() | parse_pin
     docs = raw.filter(~bad).select(*[f.name for f in DOCUMENTS_SCHEMA.fields])
