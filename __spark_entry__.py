@@ -734,7 +734,20 @@ def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("\n--bnd--"),
             ),
         )
-        .when(m == 7, F.concat(F.lit("k="), F.translate(F.col("text"), " ", "+")))
+        # form arm: '+'-encoded spaces PLUS %XX escapes from the closed
+        # set {%6B -> 'k', %20 -> ' '} so the default full percent-decode
+        # is exercised while staying DuckDB-replayable (replace chain —
+        # exact because decoded text re-introduces no '%')
+        .when(
+            m == 7,
+            F.concat(
+                F.lit("k="),
+                F.translate(F.col("text"), " ", "+"),
+                F.lit("&pct=%6B"),
+                F.substr(t1, F.lit(2)),
+                F.lit("%20end"),
+            ),
+        )
         .when(m == 8, F.concat(F.lit(decode.GZIP_GARBLED_PREFIX), F.col("text")))
         .when(
             m == 9,
@@ -2547,6 +2560,8 @@ def oracle_sql() -> dict[str, str]:
                              || chr(10) || chr(10) || split_part(text, ' ', 1)
                              || chr(10) || '--bnd--'
                  WHEN 7 THEN 'k=' || replace(text, ' ', '+')
+                             || '&pct=%6B' || substr(split_part(text, ' ', 1), 2)
+                             || '%20end'
                  WHEN 8 THEN chr(31) || chr(65533) || chr(8) || text
                  WHEN 9 THEN '{{"a":"' || split_part(text, ' ', 1)
                       || '"}}{{"b":"' || split_part(text, ' ', 2) || '"}}'
@@ -2655,7 +2670,9 @@ def oracle_sql() -> dict[str, str]:
                   WHEN u_trailpad
                     THEN decode(from_base64(
                           translate(substr(p, 1, length(p) - 1), '-_', '+/')))
-                  WHEN formish THEN replace(p, '+', ' ')
+                  WHEN formish THEN
+                    replace(replace(replace(p, '+', ' '), '%6B', 'k'),
+                            '%20', ' ')
                   WHEN jstream
                     THEN '[' || regexp_replace(p, '\\}}\\{{', '}},{{', 'g') || ']'
                   ELSE p END AS decoded

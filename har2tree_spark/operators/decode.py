@@ -65,13 +65,13 @@ empty form value). Arms, in dispatch priority:
                     urlsafe payload with trailing padding also parses as a
                     k=v pair, and the reference's blind b64 attempt runs
                     before any mimetype dispatch)
-  form-urlencoded-> '+' -> space normalization         (nodes.py:307-323;
-                    k=v&k=v grammar with valid %XX escapes. Full
-                    percent-decoding — the reference's parse_qs value
-                    semantics — is implemented behind
-                    ``full_percent_decode=True`` (F.try_url_decode);
-                    default OFF because the oracle dialect (DuckDB 1.0)
-                    has no url_decode to mirror. NOTE: a single trailing-'='
+  form-urlencoded-> full percent-decode (F.try_url_decode: %XX unescape
+                    + '+' -> space — the reference's parse_qs value
+                    semantics, nodes.py:307-323; DEFAULT since r6, with
+                    ``full_percent_decode=False`` keeping the legacy
+                    '+'-only normalization; the DuckDB oracle mirrors the
+                    gate corpus's closed escape set with a replace
+                    chain). NOTE: a single trailing-'='
                     base64 fragment like 'QQ=' parses as a form pair with an
                     empty value under shape dispatch; with a declared
                     mimetype the reference would base64-retry it instead —
@@ -130,19 +130,24 @@ def _unb64(c: Column) -> Column:
 def decode_dispatch(
     df: DataFrame,
     payload_col: str = "payload",
-    full_percent_decode: bool = False,
+    full_percent_decode: bool = True,
 ) -> DataFrame:
     """Adds (decode_kind, decode_ok, decoded, decoded_size).
 
-    ``full_percent_decode=True`` switches the form-urlencoded arm from
-    '+'-to-space normalization to full application/x-www-form-urlencoded
-    decoding (``F.try_url_decode``: %XX unescape + '+' -> space — the
-    reference's ``parse_qs`` value semantics, nodes.py:307-323). Default
-    OFF because the driver-gate oracle dialect (DuckDB 1.0) has no
-    url_decode to mirror; the gate ensures every '%' opens a valid %XX
-    escape either way, so the try_ variant's null branch never fires on
-    dispatched rows (coalesce kept as belt-and-braces). Only the form
-    arm's ``decoded``/``decoded_size`` change with the flag."""
+    ``full_percent_decode`` (default ON since r6) gives the form arm full
+    application/x-www-form-urlencoded decoding (``F.try_url_decode``: %XX
+    unescape + '+' -> space — the reference's ``parse_qs`` value
+    semantics, nodes.py:307-323); False falls back to the legacy
+    '+'-to-space-only normalization. The oracle dialect (DuckDB 1.0) has
+    no url_decode, so the driver gate mirrors the decode with a closed
+    replace chain over the escape set its corpus generates (%6B/%20) —
+    exact there because decoded text re-introduces no '%' (see
+    q_decode_dispatch); arbitrary escapes are pinned against
+    urllib.parse.unquote_plus in pytest instead. The dispatch gate
+    ensures every '%' opens a valid %XX escape either way, so the try_
+    variant's null branch never fires on dispatched rows (coalesce kept
+    as belt-and-braces). Only the form arm's ``decoded``/``decoded_size``
+    change with the flag."""
     p = F.col(payload_col)
     is_gzip_garbled = p.startswith(GZIP_GARBLED_PREFIX)
     is_data = p.startswith("data:")

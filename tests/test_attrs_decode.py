@@ -128,8 +128,10 @@ def test_decode_new_arms(spark):
     )
     rows = [
         ("d", 0, mp, "multipart", "hello there\nsecond part", True),
+        # default full percent-decode (r6): %41 -> 'A' (parse_qs value
+        # semantics; the legacy '+'-only behavior is flag-gated OFF now)
         ("d", 1, "a=1&b=hello+world&c=%41", "form_urlencoded",
-         "a=1&b=hello world&c=%41", True),
+         "a=1&b=hello world&c=A", True),
         # invalid escape '%4x' -> form gate fails -> plain
         ("d", 2, "a=%4x", "plain", "a=%4x", True),
         ("d", 3, '{"a":1}{"b":2}', "json_stream", '[{"a":1},{"b":2}]', True),
@@ -315,7 +317,10 @@ def test_decode_form_full_percent_decode_flag(spark):
     df = spark.createDataFrame(
         [(i, p) for i, p in enumerate(payloads)], "span_idx int, payload string"
     )
-    off = {r.span_idx: r for r in decode.decode_dispatch(df).collect()}
+    off = {
+        r.span_idx: r
+        for r in decode.decode_dispatch(df, full_percent_decode=False).collect()
+    }
     on = {
         r.span_idx: r
         for r in decode.decode_dispatch(df, full_percent_decode=True).collect()
