@@ -117,7 +117,93 @@ def test_media_plumbing(spark):
     assert dd.count() == 48  # all payloads distinct
 
 
-def test_media_decode_stub_raises(spark):
+def test_media_decode_non_image_raises(spark):
+    # synthesize_media payloads are md5-chain bytes, not PPM/BMP — the
+    # real decoder (r6) rejects them as a codec failure would
     m = multimodal.synthesize_media(spark, 4)
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="ValueError|unsupported image"):
         multimodal.extract_features(m, stub=False).collect()
+
+
+# ---- real pure-numpy image decode (r5 VERDICT #5) -------------------------
+
+def test_decode_image_ppm_roundtrip():
+    import numpy as np
+
+    from har2tree_spark.media import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert (mm.decode_image(mm.encode_ppm(px)) == px).all()
+    # comment + multi-whitespace header grammar
+    body = b"P6 # c\n# full comment line\n 3\t2\n255\n" + bytes(range(18))
+    got = mm.decode_image(body)
+    assert got.shape == (2, 3, 3) and got.reshape(-1).tolist() == list(range(18))
+    import pytest as _pytest
+
+    for bad in (b"", b"P6", b"P6\n3 2\n255\n" + b"\x00" * 17,
+                b"P6\n0 2\n255\n", b"P6\nx 2\n255\n", b"P5\n1 1\n255\n\x00",
+                b"\x89PNG\r\n\x1a\n"):
+        with _pytest.raises(ValueError):
+            mm.decode_image(bad)
+
+
+def test_decode_image_bmp():
+    import struct
+
+    import numpy as np
+
+    from har2tree_spark.media import multimodal as mm
+
+    # hand-built 3x2 24-bit bottom-up BMP (stride 12 = 9 data + 3 pad)
+    w, h = 3, 2
+    stride = (w * 3 + 3) & ~3
+    # pixel rows in FILE order = bottom row first, BGR
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]  # RGB of the top row
+    bot = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    def row(px):
+        return b"".join(bytes((b, g, r)) for r, g, b in px) + b"\x00" * (stride - 3 * w)
+    pixdata = row(bot) + row(top)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixdata), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixdata), 2835, 2835, 0, 0)
+    got = mm.decode_image(header + dib + pixdata)
+    assert got.shape == (2, 3, 3)
+    assert [tuple(p) for p in got[0]] == top
+    assert [tuple(p) for p in got[1]] == bot
+    import pytest as _pytest
+
+    # compressed (BI_RLE8 = 1) rejected
+    dib_rle = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, 0, 0, 0, 0, 0)
+    with _pytest.raises(ValueError):
+        mm.decode_image(header + dib_rle + pixdata)
+
+
+def test_extract_features_non_stub_end_to_end(spark):
+    """stub=False really decodes: features are the pixel histogram of the
+    decoded PPM, not the raw-payload histogram (header bytes excluded —
+    asserted by constructing pixels whose histogram differs from the
+    payload's)."""
+    import numpy as np
+
+    from har2tree_spark.media import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    rows = []
+    pixel_hists = {}
+    for i in range(6):
+        px = rng.integers(0, 256, size=(4 + i, 3, 3), dtype=np.uint8)
+        payload = mm.encode_ppm(px)
+        hist, _ = np.histogram(px.reshape(-1), bins=mm.FEATURE_DIM, range=(0, 256))
+        pixel_hists[f"m{i}"] = hist.tolist()
+        rows.append(("m" + str(i), "image", payload))
+    df = spark.createDataFrame(
+        rows, "media_id string, media_type string, payload binary"
+    )
+    got = {r.media_id: r for r in mm.extract_features(df, stub=False).collect()}
+    for mid, want in pixel_hists.items():
+        assert got[mid].hist == want
+        v = np.array(got[mid].feature)
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-6
+    # and the stub path on the same frame differs (header bytes included)
+    stub = {r.media_id: r for r in mm.extract_features(df, stub=True).collect()}
+    assert any(stub[m].hist != pixel_hists[m] for m in pixel_hists)
