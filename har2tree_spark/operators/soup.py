@@ -24,6 +24,15 @@ case-mixed markup, comments) and is parity-pinned against the regexp
 path on the regular corpus; the CSS url()/@import arms stay on the JVM
 regexes in both engines so those segments are bit-identical.
 
+VERIFICATION CAVEAT (r5 ADVICE): lxml is not installed in this
+container, so every in-repo run of engine="lxml" — parity pins
+included — exercises the stdlib html.parser fallback, and the
+lxml-specific code path is unverified here. Its one known divergence
+source, libxml2's implied html/head/body start events, is neutralized
+by ``_implied_tag_skip`` (source-literal filter, unit-tested as a pure
+function without lxml); run the test_soup.py suite once in an
+lxml-equipped environment before relying on bit-parity there.
+
   * soup_features  — tag sequence, lowercased; domhash = first 32 hex of
                      sha256 of the '|'-joined tag names (F26 contract);
                      resource surface (F18) = the reference's full
@@ -63,19 +72,54 @@ def _extract_all(body: Column, pattern: str) -> Column:
     return F.regexp_extract_all(body, F.lit(pattern), F.lit(1))
 
 
+_STRUCTURAL_IMPLIED = ("html", "head", "body")
+
+
+def _implied_tag_skip(body: str):
+    """Predicate: skip start events for structural tags (html/head/body)
+    that the SOURCE does not literally contain. libxml2's HTML parser
+    emits start events for *implied* document structure — a bare
+    ``<p>x</p>`` yields html/body events — which the stdlib html.parser
+    and the regexp engine (both source-literal) never see; without this
+    filter the lxml branch would diverge on tags/domhash for any fragment
+    (r5 ADVICE). A tag literally present in the source keeps its events
+    (implied duplicates of a literal tag do not occur: libxml2 emits the
+    element once)."""
+    import re as _re  # noqa: PLC0415
+
+    present = {
+        t
+        for t in _STRUCTURAL_IMPLIED
+        if _re.search(rf"(?i)<{t}(?=[\s/>]|\Z)", body)
+    }
+    skip = set(_STRUCTURAL_IMPLIED) - present
+    return lambda tag: tag in skip
+
+
 def _parse_markup_events(body: str) -> tuple[list[str], list[str]]:
     """(tags, attr_refs) from a real HTML event parser — lxml's SAX target
     API when importable, stdlib html.parser otherwise. Never throws: a
-    hard parser error keeps whatever was collected before it."""
+    hard parser error keeps whatever was collected before it.
+
+    NOTE on verification status: the lxml branch is import-gated and lxml
+    is not installed in this container, so in-repo tests exercise the
+    stdlib fallback; the lxml-specific implied-element filter
+    (``_implied_tag_skip``) is unit-tested as a pure function, and the
+    cross-engine expectations in test_soup.py assume it."""
     tags: list[str] = []
     refs: list[str] = []
     try:
         import lxml.etree as _etree  # noqa: PLC0415
 
+        _skip_implied = _implied_tag_skip(body)
+
         class _Target:
             def start(self, tag, attrib):  # noqa: ANN001
                 if isinstance(tag, str):
-                    tags.append(tag.lower())
+                    low = tag.lower()
+                    if _skip_implied(low):
+                        return
+                    tags.append(low)
                     for name, val in attrib.items():
                         if name.lower() in RESOURCE_ATTRS:
                             refs.append(val or "")
