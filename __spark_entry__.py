@@ -2580,9 +2580,14 @@ def oracle_sql() -> dict[str, str]:
       d AS (
         SELECT doc_id, span_idx, p,
                split_part(p, ',', 1) AS hdr, split_part(p, ',', 2) AS body,
-               regexp_extract_all(p, '(?s)\n\n(.*?)\n--', 1) AS mparts,
+               -- reference-direction framing normalization
+               -- (nodes.py:386-390): LF->CRLF unless CRLF already present
+               regexp_extract_all(
+                 CASE WHEN contains(p, chr(13) || chr(10)) THEN p
+                      ELSE replace(p, chr(10), chr(13) || chr(10)) END,
+                 '(?s)\r\n\r\n(.*?)\r\n--', 1) AS mparts,
                (p LIKE (chr(31) || chr(65533) || chr(8) || '%')) AS garbled,
-               regexp_matches(p, '^--[A-Za-z0-9]+\n') AS is_mp,
+               regexp_matches(p, '^--[A-Za-z0-9]+\r?\n') AS is_mp,
                (regexp_matches(p, '^[0-9a-fA-F]+$') AND length(p) % 2 = 0)
                  AS hexish,
                (regexp_matches(p, '{b64_re}') AND length(p) % 4 = 0) AS b64ish,

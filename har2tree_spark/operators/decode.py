@@ -38,9 +38,14 @@ empty form value). Arms, in dispatch priority:
   data-URI b64   -> unbase64 of the payload part       (F14 + F10)
   data-URI raw   -> payload part as-is
   multipart      -> part bodies joined by newline      (nodes.py:377-398;
-                    '--<boundary>' framing, blank-line header separator —
-                    \\n newlines only in this re-ground, the reference
-                    normalizes the other way to \\r\\n for its decoder)
+                    '--<boundary>' framing, blank-line header separator.
+                    r6: normalization now matches the reference's
+                    direction (nodes.py:386-390) — a payload without any
+                    \\r\\n is rewritten \\n -> \\r\\n before part
+                    extraction, so multiline part CONTENT carries \\r\\n
+                    exactly as the reference's part.text does; the join
+                    separator between parts stays \\n, this engine's
+                    canonical list serialization)
   hex            -> unhex (before base64: strict-subset grammar)
   base64         -> unbase64                           (F9)
   base64 padfix  -> unbase64 after re-padding a pad-free payload (F10
@@ -108,8 +113,8 @@ B64_NOPAD_RE = "^[A-Za-z0-9+/]+\\z"
 B64_URL_RE = "^[A-Za-z0-9_-]+={0,2}\\z"
 HEX_RE = "^[0-9a-fA-F]+\\z"
 GZIP_GARBLED_PREFIX = "\x1f�\x08"
-MULTIPART_RE = "^--[A-Za-z0-9]+\n"
-MULTIPART_PART_RE = "(?s)\n\n(.*?)\n--"
+MULTIPART_RE = "^--[A-Za-z0-9]+\r?\n"  # either framing dispatches
+MULTIPART_PART_RE = "(?s)\r\n\r\n(.*?)\r\n--"  # applied AFTER \n->\r\n normalization
 FORM_RE = "^[A-Za-z0-9_.~%+-]+=[A-Za-z0-9_.~%+&=-]*\\z"
 JSON_STREAM_RE = "\\}\\{"
 ION_MARKER = "$ion_"  # Ion text version marker ($ion_1_0 ...)
@@ -170,7 +175,14 @@ def decode_dispatch(
         duri_hdr.contains(";base64") & duri_ok, _unb64(duri_body)
     ).otherwise(duri_body)
     is_multipart = p.rlike(MULTIPART_RE)
-    mp_parts = F.regexp_extract_all(p, F.lit(MULTIPART_PART_RE), 1)
+    # the reference's normalization direction (nodes.py:386-390): leave a
+    # payload containing any CRLF alone, else rewrite LF -> CRLF; parts are
+    # then extracted against CRLF framing, so multiline part content keeps
+    # the CRLFs the reference's decoder would see
+    mp_norm = F.when(p.contains("\r\n"), p).otherwise(
+        F.replace(p, F.lit("\n"), F.lit("\r\n"))
+    )
+    mp_parts = F.regexp_extract_all(mp_norm, F.lit(MULTIPART_PART_RE), 1)
     hexish = p.rlike(HEX_RE) & (F.length(p) % 2 == 0)
     b64ish = p.rlike(B64_RE) & (F.length(p) % 4 == 0)
     # blind-retry (re-pad) arm: pad-free payloads only; length % 4 == 1 is

@@ -516,3 +516,33 @@ def test_decode_structural_never_throws_fuzz(spark):
         assert r.decoded is not None
         if r.structurally_decoded:
             assert r.decode_ok
+
+
+def test_multipart_crlf_parity(spark):
+    """r5 VERDICT #7: the multipart arm now normalizes the reference's
+    direction (nodes.py:386-390 — LF->CRLF unless CRLF already present),
+    so (a) CRLF-framed payloads dispatch as multipart at all, and (b)
+    multiline part CONTENT carries CRLF exactly as the reference's
+    decoder would see it. The join separator between parts remains LF
+    (this engine's canonical list serialization)."""
+    lf_payload = (
+        '--bnd\ncontent-disposition: form-data; name="a"\n\nline1\nline2'
+        '\n--bnd\ncontent-disposition: form-data; name="b"\n\nsolo\n--bnd--'
+    )
+    crlf_payload = lf_payload.replace("\n", "\r\n")
+    mixed = (  # already contains CRLF -> left alone (reference rule)
+        '--bnd\r\nh: v\r\n\r\ncontent\r\n--bnd--'
+    )
+    df = spark.createDataFrame(
+        [(0, lf_payload), (1, crlf_payload), (2, mixed)],
+        "span_idx int, payload string",
+    )
+    got = {r.span_idx: r for r in decode.decode_dispatch(df).collect()}
+    for i in (0, 1, 2):
+        assert got[i].decode_kind == "multipart", i
+        assert got[i].decode_ok, i
+    # LF input: content normalized to CRLF (reference part.text parity)
+    assert got[0].decoded == "line1\r\nline2\nsolo"
+    # CRLF input: identical result (normalization is idempotent here)
+    assert got[1].decoded == got[0].decoded
+    assert got[2].decoded == "content"
