@@ -150,7 +150,21 @@ def minhash_lsh_pairs(
     max_bucket: int = 64,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified by signature-estimated
-    Jaccard >= threshold. Returns (id_a, id_b, est_jaccard)."""
+    Jaccard >= threshold. Returns (id_a, id_b, est_jaccard).
+
+    Plan shape (r6 rewrite): ONE hash exchange on (band, bucket-hash) does
+    all the pair generation — a window row_number pre-cap bounds per-bucket
+    state at max_bucket+1 rows (the bounded-buffer pattern from exact
+    dedup), the groupBy reuses the window's partitioning (no second
+    exchange), and the in-bucket pairwise expansion is a JVM higher-order
+    transform over the collected members. This replaces the r4/r5 shape
+    (eager localCheckpoint job + bucket-size agg + semi-join + a-b
+    self-join: 3 extra shuffles plus a checkpoint write) which bench.py
+    showed was overhead-bound at sf0.1, not md5-bound. Semantics are
+    bit-identical: buckets with >max_bucket members are dropped whole
+    (they hit the cap+1 sentinel and fail the size filter), smaller
+    buckets are complete, and the est filter runs BEFORE the pair-dedup
+    shuffle so rejected candidates never cross the wire."""
     rows_per_band = num_hashes // bands
     # Two measured perf guards (16.6x together at sf0.1):
     #  * repartition: a single small parquet file reads as ONE partition, so
@@ -159,8 +173,6 @@ def minhash_lsh_pairs(
     #    CollapseProject from re-inlining the shingle construction into each
     #    of the num_hashes seed lambdas (it preserves intermediates that are
     #    referenced more than once).
-    # localCheckpoint then materializes signatures once for the banding,
-    # the bucket-size guard, and both sides of the pair self-join.
     # (An explode -> md5 -> 16-min-aggregates formulation was A/B-measured
     # in round 4 and is ~2x SLOWER at sf0.1 — the extra groupBy shuffle of
     # the exploded shingles costs more than the per-element HOF evaluation
@@ -174,7 +186,6 @@ def minhash_lsh_pairs(
         )
         .select("id", minhash_base(F.col("sh")).alias("hv"))
         .select("id", minhash_signature(F.col("hv"), num_hashes).alias("sig"))
-        .localCheckpoint()
     )
     band_structs = [
         F.struct(
@@ -194,20 +205,42 @@ def minhash_lsh_pairs(
     banded = sig.select("id", "sig", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    # cap degenerate buckets before the pair join (skew guard)
-    bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("bn"))
-    banded = banded.join(
-        bucket_sizes.filter(F.col("bn") <= max_bucket).select("band", "bh"),
-        ["band", "bh"],
+    # Skew/degenerate-bucket guard with BOUNDED state: row_number over the
+    # bucket key caps what the collect_list can buffer at max_bucket+1
+    # rows, so a pathological bucket holds cap+1 structs, never the whole
+    # key's population. A bucket whose true size exceeds max_bucket
+    # surfaces as exactly max_bucket+1 members and is dropped whole by the
+    # size filter — identical semantics to the old count-and-semi-join
+    # guard, minus two shuffles. The groupBy immediately after the window
+    # shares its HashPartitioning(band, bh), so the whole guard+collect is
+    # one exchange (asserted in tests/test_plans.py).
+    w = Window.partitionBy("band", "bh").orderBy("id")
+    buckets = (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_bucket + 1)
+        .groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
-    a = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    pairs = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+    # In-bucket pairwise expansion, JVM-side: for member i, pair it with
+    # every later member (slice is 1-based; the two-arg lambda binds
+    # (element, 0-based index)). sort_array above makes id_a < id_b by
+    # construction and the output independent of collect_list order.
+    pair_arr = F.flatten(
+        F.transform(
+            "ms",
+            lambda m, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                lambda m2: F.struct(
+                    m["id"].alias("id_a"),
+                    m2["id"].alias("id_b"),
+                    m["sig"].alias("sig_a"),
+                    m2["sig"].alias("sig_b"),
+                ),
+            ),
+        )
     )
+    pairs = buckets.select(F.explode(pair_arr).alias("p")).select("p.*")
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.size("sig_a")
@@ -215,6 +248,7 @@ def minhash_lsh_pairs(
     return (
         pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
 

@@ -216,3 +216,18 @@ def test_ivf_assignment_partial_agg(spark):
     # the nprobe>1 probe path keeps its window (natural top-n shape)
     probes = ivf._assign(df, cents, 4, "query_id", "qv", "vec_id", "embedding")
     assert "Window" in _plan(probes)
+
+
+def test_minhash_single_pair_exchange(spark):
+    """The r6 minhash rewrite promises: the window pre-cap and the
+    bucket-collect groupBy share ONE HashPartitioning(band, bh) exchange
+    (no second exchange between them), no joins anywhere, and exactly 3
+    exchanges total in the pairs plan: the parallelism repartition, the
+    bucket exchange, and the pair-dedup exchange."""
+    from har2tree_spark.text import dedup
+
+    rows = [(i, f"w{i % 7} alpha beta gamma delta eps zeta") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = _plan(dedup.minhash_lsh_pairs(df))
+    assert "Join" not in plan, "minhash pairs plan must be join-free"
+    assert _n_exchanges(plan) == 3, plan

@@ -124,10 +124,12 @@ def main() -> None:
         "q7_minhash_lsh": (
             entrymod.q_dedup_minhash(spark, sf_dir),
             "Signature computation is HOF array exprs over one scan "
-            "(staged projections defeat CollapseProject re-eval), then "
-            "banded bucket join with capped buckets; localCheckpoint "
-            "truncates the signature lineage so the audit shows the "
-            "bucket-join half of the pipeline.",
+            "(staged projections defeat CollapseProject re-eval); the r6 "
+            "rewrite then does ALL pair generation in one "
+            "HashPartitioning(band, bh) exchange — window row_number "
+            "pre-cap (bounded bucket state), collect_list sharing the "
+            "window's partitioning, JVM pairwise expansion — plus the "
+            "pair-dedup exchange. Join-free, checkpoint-free, no Python.",
         ),
         "q8_ann_lsh": (
             entrymod.q_ann_lsh(spark, sf_dir),
