@@ -65,10 +65,20 @@ Arrow-batched ``mapInPandas`` -- the ingest boundary is per *file*, exactly
 like the reference's ``json.load``, but parallel across executors.  All
 per-span analytics stay in the unchanged engine operators downstream.
 
-Known extension hooks, deliberately not implemented because no corpus in
-``/root/reference/tests/data`` exercises them: the 5 sidecar files
+Capture sidecars (``read_har_captures``): the reference loads up to six
+optional files shipped next to each HAR, keyed ``{root_name}.*``
 (har2tree.py:127-179 -- last_redirect.txt / cookies.json / frames.json /
-.data / rendered .html) and multi-page pageref splitting (the engine's W5
+.data + .data.filename / rendered .html).  The sidecar reader scans them in
+the same distributed pass as the HARs, groups per capture on a derived
+``(dir, root_name)`` key (ONE bounded exchange -- a capture's files are a
+few MB), and emits the documents row plus extra NULLABLE columns per the S2
+sidecar contract (sources/sidecar.py): the closed core schema never
+changes, captures without a sidecar keep the column as NULL.  The rendered
+.html additionally enriches the *rendered node's* span text with the
+rendered page's resolved resource keys -- the reference's
+``add_rendered_features`` external-resource merge (nodes.py:87-109), so F28
+urls_in_rendered_page / J6 resource joins fire on rendered-only URLs.
+Multi-page pageref splitting stays unimplemented (the engine's W5
 pages-root fill covers the in-tree effect).
 """
 
@@ -176,16 +186,21 @@ def _initiator_media(entry: dict) -> str:
     return ""
 
 
-def _redirect_media(entry: dict, url: str, universe: set[str]) -> str:
-    """Resolve response.redirectURL to a target key.  urljoin + the
-    trailing-slash repair against the doc's URL universe (the pragmatic
-    core of the reference's rebuild_url, helper.py); a target outside the
-    universe keeps its hash key and will take the spatial-fallback path."""
+def _redirect_target(entry: dict, url: str, universe: set[str]) -> str:
+    """Resolve response.redirectURL to a normalized target URL.  urljoin +
+    the trailing-slash repair against the doc's URL universe (the pragmatic
+    core of the reference's rebuild_url, helper.py)."""
     target = str(entry.get("response", {}).get("redirectURL", "") or "")
     resolved = _norm(urljoin(url, target))
     if resolved not in universe and resolved + "/" in universe:
         resolved += "/"
-    return url_key(resolved)
+    return resolved
+
+
+def _redirect_media(entry: dict, url: str, universe: set[str]) -> str:
+    """Redirect target as a span key; a target outside the universe keeps
+    its hash key and will take the spatial-fallback path."""
+    return url_key(_redirect_target(entry, url, universe))
 
 
 def _body_text(entry: dict) -> str:
@@ -235,8 +250,61 @@ def _sorted_entries(har: dict) -> list[dict]:
     return sorted(entries, key=lambda e: str(e.get("startedDateTime", "")))
 
 
-def har_to_doc(doc_id: str, har: dict) -> dict:
-    """One parsed HAR dict -> one documents-table row."""
+def _resolve_final_redirect(last_redirect: str, urls: list[str]) -> tuple[str, bool]:
+    """The reference's ``_search_final_redirect`` ladder (har2tree.py:198-222):
+    walk the entries in order looking for an exact match, else a
+    ``{url}?``-prefixed match (splash strips the query); on a miss strip the
+    fragment and retry, then strip the query and retry.  Returns the
+    (possibly rewritten) final-redirect URL and whether it was found."""
+    target = last_redirect
+    while True:
+        for u in urls:
+            if u == target:
+                return target, True
+            if u.startswith(target + "?"):
+                return u, True
+        if "#" in target:
+            target = target.split("#", 1)[0]
+        elif "?" in target:
+            target = target.split("?", 1)[0]
+        else:
+            return target, False
+
+
+def _rendered_span_idx(
+    final_url: str,
+    found: bool,
+    urls: list[str],
+    redirect_targets: list[str],
+) -> int | None:
+    """The reference's ``rendered_node`` resolution (har2tree.py:655-672):
+    the node named final_redirect when the search found one, else the best
+    guess -- follow the redirect chain from the root, stepping to the first
+    entry whose URL equals the current entry's resolved redirect target
+    (with a visited guard for the reference's 'buggy capture' break)."""
+    if not urls:
+        return None
+    if found:
+        for i, u in enumerate(urls):
+            if u == final_url:
+                return i
+    cur, seen = 0, {0}
+    while redirect_targets[cur]:
+        target = redirect_targets[cur]
+        nxt = next((j for j, u in enumerate(urls) if u == target and j not in seen), None)
+        if nxt is None:
+            break
+        cur = nxt
+        seen.add(nxt)
+    return cur
+
+
+def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
+    """One parsed HAR dict (+ optional sidecar file contents) -> one
+    documents-table row.  With ``sidecars`` (a role->bytes/str dict from
+    ``read_har_captures``), the row carries the extra nullable capture
+    columns and the rendered-html resource merge; with ``sidecars=None``
+    the classic two-column row is returned unchanged."""
     entries = _sorted_entries(har)
     universe = {
         _norm(str(e.get("request", {}).get("url", "")))
@@ -244,17 +312,25 @@ def har_to_doc(doc_id: str, har: dict) -> dict:
         if e.get("request", {}).get("url")
     }
     spans = []
+    urls: list[str] = []  # per-entry normalized URL ('' for empty entries)
+    redirect_targets: list[str] = []  # per-entry resolved redirect URL or ''
     for i, e in enumerate(entries):
         raw_url = str(e.get("request", {}).get("url", "") or "")
         if not raw_url:
             # empty-URL entry: featureless span, dropped by P1 exactly like
             # the reference's ignore-list (har2tree.py:587-589)
             spans.append({"kind": "text", "text": "", "media_ref": "", "offset": i * 10})
+            urls.append("")
+            redirect_targets.append("")
             continue
         url = _norm(raw_url)
+        urls.append(url)
         own = url_key(url)
         status = int(e.get("response", {}).get("status", 0) or 0)
         redirect = bool(e.get("response", {}).get("redirectURL"))
+        redirect_targets.append(
+            _redirect_target(e, raw_url, universe) if redirect and status > 0 else ""
+        )
         kind = _kind_of(
             status,
             str(e.get("response", {}).get("content", {}).get("mimeType", "") or ""),
@@ -262,7 +338,7 @@ def har_to_doc(doc_id: str, har: dict) -> dict:
             redirect and status > 0,
         )
         if redirect and status > 0:
-            media = _redirect_media(e, raw_url, universe)
+            media = url_key(redirect_targets[-1])
         else:
             media = _initiator_media(e)
             if not media:
@@ -282,7 +358,102 @@ def har_to_doc(doc_id: str, har: dict) -> dict:
                 "offset": i * 10,
             }
         )
-    return {"doc_id": doc_id, "spans": spans}
+    if sidecars is None:
+        return {"doc_id": doc_id, "spans": spans}
+
+    row: dict = {
+        "doc_id": doc_id,
+        "spans": spans,
+        "final_redirect_url": None,
+        "final_redirect_found": None,
+        "final_redirect_key": None,
+        "rendered_span_idx": None,
+        "rendered_html": None,
+        "initial_cookies": None,
+        "downloaded_filename": None,
+        "downloaded_hex_sha256": None,
+        "downloaded_bytes": None,
+        "frames_json": None,
+        "n_frames": None,
+    }
+
+    # last_redirect.txt -> final-redirect resolution (har2tree.py:127-137):
+    # unquote_plus on the raw file content, then the search ladder; a
+    # chrome:/about: URL is the reference's capture-failed arm (not found,
+    # not an error).
+    final_url, found = "", False
+    if (lr := sidecars.get("last_redirect")) is not None:
+        final_url, found = _resolve_final_redirect(_norm(_as_text(lr)), urls)
+        row["final_redirect_url"] = final_url
+        row["final_redirect_found"] = found
+        row["final_redirect_key"] = url_key(final_url) if found else None
+
+    # rendered node (har2tree.py:655-672): search by final redirect, else
+    # walk the root's redirect chain.  Always computed -- the reference
+    # resolves rendered_node on every tree.
+    ridx = _rendered_span_idx(final_url, found, urls, redirect_targets)
+    row["rendered_span_idx"] = ridx
+
+    # cookies.json -> the reference's initial_cookies, keyed exactly as
+    # nodes.py:539 keys cookies_sent ('name=value').
+    if (ck := sidecars.get("cookies")) is not None:
+        try:
+            cookies = json.loads(_as_text(ck))
+            row["initial_cookies"] = [
+                f"{c.get('name')}={c.get('value')}" for c in cookies if isinstance(c, dict)
+            ]
+        except (ValueError, TypeError):
+            row["initial_cookies"] = []
+
+    # .data + .data.filename -> downloaded file (har2tree.py:158-171); the
+    # payload lands as its sha256 hex digest + byte length per the media
+    # digest contract (media/multimodal.py), not as an inline blob.
+    if (dl := sidecars.get("data")) is not None and (fn := sidecars.get("data_filename")) is not None:
+        blob = dl if isinstance(dl, bytes) else str(dl).encode()
+        row["downloaded_filename"] = _as_text(fn)
+        row["downloaded_hex_sha256"] = hashlib.sha256(blob).hexdigest()
+        row["downloaded_bytes"] = len(blob)
+
+    # frames.json -> kept verbatim + counted; the per-frame rendered
+    # content attach (har2tree.py:460-481 _load_iframes) happens downstream
+    # where the tree exists (J12 rendered-node attach), so ingest only
+    # carries the payload.
+    if (fr := sidecars.get("frames")) is not None:
+        txt = _as_text(fr)
+        row["frames_json"] = txt
+        try:
+            frames = json.loads(txt)
+            # the top-level FramesResponse is the main frame; its children
+            # are the actual iframes the reference walks (har2tree.py:749-753)
+            row["n_frames"] = (
+                len(frames.get("children") or []) if isinstance(frames, dict) else 0
+            )
+        except (ValueError, TypeError):
+            row["n_frames"] = 0
+
+    # rendered .html -> add_rendered_features (nodes.py:87-109): merge the
+    # rendered page's resolved resource keys into the rendered node's span
+    # text (dedup'd -- the engine's span-token contract), skipping an
+    # empty-response rendered node exactly like har2tree.py:740.
+    if (html := sidecars.get("html")) is not None:
+        text = _as_text(html)
+        row["rendered_html"] = text
+        if ridx is not None and spans[ridx]["kind"] != "empty" and spans[ridx]["text"]:
+            base = urls[ridx]
+            have = set(spans[ridx]["text"].split(" "))
+            extra = [
+                t
+                for t in _resource_tokens(text, base, universe, url_key(base))
+                if t not in have
+            ]
+            if extra:
+                spans[ridx] = {**spans[ridx], "text": spans[ridx]["text"] + " " + " ".join(extra)}
+    return row
+
+
+def _as_text(v) -> str:
+    """Sidecar file content as text (binaryFile hands us bytes)."""
+    return v.decode("utf-8", "replace") if isinstance(v, (bytes, bytearray)) else str(v)
 
 
 def _load_har_bytes(blob: bytes) -> dict:
@@ -334,6 +505,99 @@ def read_har_dir(spark, path: str, pattern: str = "*.har"):
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
     return raw.mapInPandas(run, schema=DOCUMENTS_SCHEMA)
+
+
+# Sidecar roles, keyed by filename suffix next to the HAR (reference
+# har2tree.py:127-179).  No suffix is a suffix of another, so match order
+# is irrelevant; .png / uuid / meta are deliberately absent (the reference
+# HarFile never reads them -- they are Lookyloo-level artifacts).
+_CAPTURE_ROLES = (
+    (".har.gz", "har"),
+    (".har", "har"),
+    (".last_redirect.txt", "last_redirect"),
+    (".cookies.json", "cookies"),
+    (".frames.json", "frames"),
+    (".data.filename", "data_filename"),
+    (".data", "data"),
+    (".html", "html"),
+)
+
+_CAPTURE_GLOB = "*.{har,har.gz,last_redirect.txt,cookies.json,frames.json,data,data.filename,html}"
+
+
+def captures_schema():
+    """DOCUMENTS_SCHEMA + the nullable capture-sidecar columns (the S2
+    contract: core schema closed, sidecars nullable)."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return T.StructType(
+        list(DOCUMENTS_SCHEMA.fields)
+        + [
+            T.StructField("final_redirect_url", T.StringType(), True),
+            T.StructField("final_redirect_found", T.BooleanType(), True),
+            T.StructField("final_redirect_key", T.StringType(), True),
+            T.StructField("rendered_span_idx", T.IntegerType(), True),
+            T.StructField("rendered_html", T.StringType(), True),
+            T.StructField("initial_cookies", T.ArrayType(T.StringType()), True),
+            T.StructField("downloaded_filename", T.StringType(), True),
+            T.StructField("downloaded_hex_sha256", T.StringType(), True),
+            T.StructField("downloaded_bytes", T.LongType(), True),
+            T.StructField("frames_json", T.StringType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+        ]
+    )
+
+
+def read_har_captures(spark, path: str):
+    """Directory of captures (HAR + ``{root_name}.*`` sidecars) ->
+    documents DataFrame with the extra nullable sidecar columns
+    (``captures_schema()``).
+
+    Scale shape: ONE binaryFile listing with a brace-alternation glob (the
+    .png screenshots and uuid/meta markers never even list), role + capture
+    key derived JVM-side from the path, then ONE hash exchange on the
+    capture key groups each capture's handful of files into a single
+    applyInPandas group (bounded state: a capture is a few MB).  Sidecar
+    files without a HAR (e.g. the reference's wired/ dir, which ships
+    rendered html + screenshot but no .har) produce no row, mirroring the
+    reference, which cannot construct a HarFile without the HAR."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", _CAPTURE_GLOB)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+    role = F.lit(None).cast("string")
+    cap = F.lit(None).cast("string")
+    for suf, r in _CAPTURE_ROLES:
+        cond = F.col("path").endswith(suf)
+        role = F.when(cond, F.lit(r)).otherwise(role)
+        cap = F.when(
+            cond, F.expr(f"substring(path, 1, length(path) - {len(suf)})")
+        ).otherwise(cap)
+    tagged = raw.select(
+        cap.alias("capture"), role.alias("role"), "path", "content"
+    ).filter(F.col("role").isNotNull())
+
+    schema = captures_schema()
+    cols = [f.name for f in schema.fields]
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_role = dict(zip(pdf["role"].tolist(), pdf["content"].tolist()))
+        if "har" not in by_role:
+            return pd.DataFrame(columns=cols)
+        capture = pdf["capture"].iloc[0]
+        sidecars = {r: c for r, c in by_role.items() if r != "har"}
+        row = har_to_doc(
+            _doc_id_of(capture, path), _load_har_bytes(by_role["har"]), sidecars
+        )
+        return pd.DataFrame([row], columns=cols)
+
+    return tagged.groupBy("capture").applyInPandas(build, schema=schema)
 
 
 def read_har_bodies(spark, path: str, pattern: str = "*.har"):

@@ -206,3 +206,245 @@ def test_simple_bodies_feed_soup_engines(spark):
     assert root_ev["n_tags"] >= root_rx["n_tags"] > 0
     assert set(root_rx["res_refs"]) <= set(root_ev["res_refs"])
     assert root_ev["domhash"] is not None
+
+
+# --- capture sidecars (read_har_captures) ---
+
+
+def test_final_redirect_ladder():
+    # the reference's _search_final_redirect arms (har2tree.py:198-222)
+    urls = ["https://a.example/", "https://b.example/page?q=1", "https://c.example/x"]
+    # exact match
+    assert har_source._resolve_final_redirect("https://a.example/", urls) == (
+        "https://a.example/",
+        True,
+    )
+    # splash stripped the query: '{url}?' prefix match rewrites the target
+    assert har_source._resolve_final_redirect("https://b.example/page", urls) == (
+        "https://b.example/page?q=1",
+        True,
+    )
+    # fragment stripped, then found
+    assert har_source._resolve_final_redirect("https://c.example/x#frag", urls) == (
+        "https://c.example/x",
+        True,
+    )
+    # fragment stripped, then query stripped, then found
+    assert har_source._resolve_final_redirect("https://c.example/x?u=2#f", urls) == (
+        "https://c.example/x",
+        True,
+    )
+    # never found
+    got, found = har_source._resolve_final_redirect("https://zz.example/?a#b", urls)
+    assert not found and got == "https://zz.example/"
+
+
+def test_rendered_span_idx_chain_walk():
+    urls = ["https://a/", "https://b/", "https://c/", "https://b/"]
+    # found -> first entry with that URL wins (reference search_nodes[0])
+    assert har_source._rendered_span_idx("https://b/", True, urls, [""] * 4) == 1
+    # not found -> redirect chain walk from the root: a -> b -> c
+    targets = ["https://b/", "https://c/", "", ""]
+    assert har_source._rendered_span_idx("", False, urls, targets) == 2
+    # cycle guard: a -> b -> a stops at the already-visited node
+    targets = ["https://b/", "https://a/", "", ""]
+    assert har_source._rendered_span_idx("", False, urls, targets) == 1
+    # no entries
+    assert har_source._rendered_span_idx("", False, [], []) is None
+
+
+def _mk_entry(url, status=200, mime="text/html", body="", redirect="", started="2024-01-01T00:00:0"):
+    e = {
+        "startedDateTime": started,
+        "request": {"url": url, "headers": []},
+        "response": {
+            "status": status,
+            "redirectURL": redirect,
+            "content": {"mimeType": mime, "text": body},
+            "headers": [],
+        },
+    }
+    return e
+
+
+@pytest.fixture(scope="module")
+def capture_dir(tmp_path_factory):
+    import json as _json
+
+    root = tmp_path_factory.mktemp("captures")
+    a, b, c, d = (
+        "https://site.example/",
+        "https://site.example/landing",
+        "https://site.example/style.css",
+        "https://site.example/logo.png",
+    )
+    har = {
+        "log": {
+            "entries": [
+                _mk_entry(a, status=302, redirect="/landing", started="2024-01-01T00:00:00"),
+                _mk_entry(
+                    b,
+                    body='<html><link href="style.css"></html>',
+                    started="2024-01-01T00:00:01",
+                ),
+                _mk_entry(c, mime="text/css", started="2024-01-01T00:00:02"),
+                _mk_entry(d, mime="image/png", started="2024-01-01T00:00:03"),
+            ]
+        }
+    }
+    (root / "cap.har").write_text(_json.dumps(har))
+    # fragment on the address-bar URL: exercises the strip-and-retry arm
+    (root / "cap.last_redirect.txt").write_text(b + "#loaded")
+    (root / "cap.cookies.json").write_text(
+        _json.dumps([{"name": "sid", "value": "42"}, {"name": "t", "value": "x"}])
+    )
+    # real FramesResponse shape (reference har2tree.py:91-96): main frame +
+    # child iframes — one URL frame with a fragment (resolved against the
+    # css entry) nesting a URL-less frame, one local-only frame, and one
+    # unresolvable frame whose child must never attach (warn-and-stop)
+    (root / "cap.frames.json").write_text(
+        _json.dumps(
+            {
+                "name": "main",
+                "url": a,
+                "content": "<html>",
+                "children": [
+                    {
+                        "name": "f1",
+                        "url": c + "#frag",
+                        "content": "<p>one</p>",
+                        "children": [{"name": "f2", "content": "<p>nested</p>"}],
+                    },
+                    {"name": "f3", "url": "about:blank", "content": "<p>local</p>"},
+                    {
+                        "name": "f4",
+                        "url": "https://missing.example/",
+                        "content": "<p>miss</p>",
+                        "children": [{"name": "f5", "url": d, "content": "x"}],
+                    },
+                ],
+            }
+        )
+    )
+    (root / "cap.data").write_bytes(b"PAYLOAD")
+    (root / "cap.data.filename").write_text("invoice.pdf")
+    # rendered html references the img entry (in-universe -> merged into the
+    # rendered node's span) and an off-universe URL (ignored)
+    (root / "cap.html").write_text(
+        '<html><img src="logo.png"><img src="https://other.example/x.png"></html>'
+    )
+    # a capture with no sidecars at all -> NULL columns, same schema
+    (root / "bare.har").write_text(
+        _json.dumps({"log": {"entries": [_mk_entry(a, started="2024-01-01T00:00:00")]}})
+    )
+    # orphan sidecars without a HAR -> no row (the reference cannot build a
+    # HarFile without the HAR)
+    (root / "ghost.html").write_text("<html></html>")
+    (root / "ghost.cookies.json").write_text("[]")
+    return str(root), (a, b, c, d)
+
+
+def test_capture_sidecars_end_to_end(spark, capture_dir):
+    root, (a, b, c, d) = capture_dir
+    docs = har_source.read_har_captures(spark, root).toPandas().set_index("doc_id")
+    assert set(docs.index) == {"cap", "bare"}  # ghost produced no row
+
+    cap = docs.loc["cap"]
+    # final redirect: fragment stripped, exact match on the landing entry
+    assert cap["final_redirect_found"] and cap["final_redirect_url"] == b
+    assert cap["final_redirect_key"] == har_source.url_key(b)
+    assert cap["rendered_span_idx"] == 1  # the landing entry, by search
+    assert list(cap["initial_cookies"]) == ["sid=42", "t=x"]
+    assert cap["downloaded_filename"] == "invoice.pdf"
+    import hashlib as _h
+
+    assert cap["downloaded_hex_sha256"] == _h.sha256(b"PAYLOAD").hexdigest()
+    assert cap["downloaded_bytes"] == len(b"PAYLOAD")
+    assert cap["n_frames"] == 3 and "content" in cap["frames_json"]
+    assert "logo.png" in cap["rendered_html"]
+    # rendered-resource merge: the rendered node's span gained the logo key
+    # (add_rendered_features, nodes.py:87-109), not the off-universe URL
+    spans = list(cap["spans"])
+    rendered_tokens = spans[1]["text"].split(" ")
+    assert har_source.url_key(d) in rendered_tokens
+    # the css key was already there from the body parse; no duplicate
+    assert rendered_tokens.count(har_source.url_key(c)) == 1
+    assert rendered_tokens.count(har_source.url_key(d)) == 1
+
+    bare = docs.loc["bare"]
+    for col in (
+        "final_redirect_url",
+        "final_redirect_key",
+        "rendered_html",
+        "initial_cookies",
+        "downloaded_filename",
+        "downloaded_hex_sha256",
+        "frames_json",
+    ):
+        assert bare[col] is None or bare[col] != bare[col]  # null/NaN
+    # rendered_span_idx defaults to the chain-walk root even with no sidecars
+    assert bare["rendered_span_idx"] == 0
+
+    # the enriched documents still run the unchanged pipeline, and the
+    # rendered-only resource becomes a resource-join row on the rendered node
+    out = run_pipeline(
+        har_source.read_har_captures(spark, root).select("doc_id", "spans"),
+        mode="exact",
+    )
+    jr = out["join_result"].toPandas()
+    capjr = jr[jr.doc_id == "cap"].set_index("span_idx")
+    assert (capjr.loc[3, "parent_idx"], capjr.loc[3, "join_kind"]) in {
+        (1, "resource"),
+        (1, "referer"),
+    }
+
+
+def test_wired_sidecars_without_har(spark):
+    # the reference's wired/ dir ships rendered html + screenshot + meta
+    # but no .har: no capture row, and the scan does not choke on the
+    # 1.7MB png (it is excluded at listing time by the role glob)
+    docs = har_source.read_har_captures(spark, f"{REF_DATA}/wired")
+    assert docs.count() == 0
+
+
+def test_captures_reader_matches_plain_reader(spark):
+    # with no sidecars present the capture reader degrades to exactly
+    # read_har_dir: same doc_ids, same span sequences
+    plain = har_source.read_har_dir(spark, f"{REF_DATA}/simple").toPandas()
+    caps = har_source.read_har_captures(spark, f"{REF_DATA}/simple").toPandas()
+    assert set(caps.columns) >= set(plain.columns)
+    p = plain.set_index("doc_id")["spans"].map(list)
+    q = caps.set_index("doc_id")["spans"].map(list)
+    assert p.to_dict() == q.to_dict()
+
+
+def test_attach_frames_walk(spark, capture_dir):
+    # the reference's _load_iframes walk (har2tree.py:438-485, entry loop
+    # 749-753) over the capture fixture's frame tree
+    import hashlib as _h
+
+    from har2tree_spark.operators import frames as frames_op
+    from har2tree_spark.operators import cascade, parse
+
+    root, (a, b, c, d) = capture_dir
+    caps = har_source.read_har_captures(spark, root)
+    feats = parse.parse_documents(caps.select("doc_id", "spans"))
+    tree = cascade.resolve_exact(feats)
+    got = (
+        frames_op.attach_frames(caps, feats, tree)
+        .toPandas()
+        .set_index(["doc_id", "span_idx"])
+        .sort_index()
+    )
+    dg = lambda s: _h.sha256(s.encode()).hexdigest()  # noqa: E731
+    # f1 (url c#frag) resolves fragment-stripped to the css span (idx 2) in
+    # the rendered node's subtree; its URL-less child f2 attaches to the
+    # SAME node (the new current)
+    assert list(got.loc[("cap", 2), "frames_hex_sha256"]) == [dg("<p>one</p>"), dg("<p>nested</p>")]
+    assert got.loc[("cap", 2), "n_rendered_frames"] == 2
+    assert bool(got.loc[("cap", 2), "iframe"])
+    # f3 (about:blank -> local-only) attaches to the rendered node itself
+    assert list(got.loc[("cap", 1), "frames_hex_sha256"]) == [dg("<p>local</p>")]
+    # f4 is unresolvable -> warn-and-stop: neither it nor its child f5
+    # (whose URL d IS in the tree) attaches anywhere
+    assert set(got.index) == {("cap", 1), ("cap", 2)}
