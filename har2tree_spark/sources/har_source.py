@@ -479,6 +479,22 @@ def _doc_id_of(path: str, root: str) -> str:
     return p
 
 
+def _docs_from_binary(raw, root: str):
+    """(path, content) frame -> documents frame; shared by the batch and
+    streaming readers (mapInPandas runs identically on both plans)."""
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                har_to_doc(_doc_id_of(p, root), _load_har_bytes(c))
+                for p, c in zip(pdf["path"].tolist(), pdf["content"].tolist())
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return raw.mapInPandas(run, schema=DOCUMENTS_SCHEMA)
+
+
 def read_har_dir(spark, path: str, pattern: str = "*.har"):
     """Directory of HAR files -> documents DataFrame (DOCUMENTS_SCHEMA).
 
@@ -486,8 +502,6 @@ def read_har_dir(spark, path: str, pattern: str = "*.har"):
     parses its files inside one Arrow batch -- no driver-side loop, no
     per-span Python (all span analytics happen in the engine operators
     downstream)."""
-    import pandas as pd  # noqa: PLC0415
-
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", pattern)
@@ -495,16 +509,44 @@ def read_har_dir(spark, path: str, pattern: str = "*.har"):
         .load(path)
         .select("path", "content")
     )
+    return _docs_from_binary(raw, path)
 
-    def run(batches):
-        for pdf in batches:
-            rows = [
-                har_to_doc(_doc_id_of(p, path), _load_har_bytes(c))
-                for p, c in zip(pdf["path"].tolist(), pdf["content"].tolist())
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
-    return raw.mapInPandas(run, schema=DOCUMENTS_SCHEMA)
+def stream_har_documents(spark, path: str, pattern: str = "*.har", max_files: int = 8):
+    """Streaming HAR arrivals -> documents STREAM (DOCUMENTS_SCHEMA).
+
+    The reference is strictly batch; this is the engine's streaming
+    extension applied at the ingest boundary: new capture files dropped
+    into the directory become document rows in the next micro-batch, and
+    `streaming.ingest.incremental_pipeline` runs the unchanged batch
+    operators over them with exactly-once file tracking via the streaming
+    checkpoint (file-source semantics: each file is processed exactly one
+    micro-batch).  Per-file parsing is the same Arrow-batched closure as
+    the batch reader.  Sidecar-grouped ingestion stays batch-only
+    (read_har_captures): a capture's sidecar files can straddle
+    micro-batches, so grouping them in a stream would need session-window
+    state for no user-visible gain."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    # a streaming source cannot infer its schema; binaryFile's is fixed
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), True),
+            T.StructField("modificationTime", T.TimestampType(), True),
+            T.StructField("length", T.LongType(), True),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", max_files)
+        .load(path)
+        .select("path", "content")
+    )
+    return _docs_from_binary(raw, path)
 
 
 # Sidecar roles, keyed by filename suffix next to the HAR (reference

@@ -163,3 +163,52 @@ def test_incremental_pipeline_restart_exactly_once(spark):
         key = ["doc_id", "span_idx", "parent_idx", "join_kind"]
         assert got.select(*key).exceptAll(want.select(*key)).count() == 0
         assert got.groupBy("doc_id", "span_idx").count().filter("count > 1").count() == 0
+
+
+def test_streaming_har_ingestion_two_waves(spark):
+    # streaming HAR arrivals (sources/har_source.stream_har_documents):
+    # wave 1 lands three real capture files, wave 2 two more; the file
+    # source's checkpoint processes each file exactly once, and the union
+    # equals the batch reader + pipeline over all five
+    import os
+    import shutil
+
+    from har2tree_spark.sources import har_source
+
+    ref = "/root/reference/tests/data/lalibre"
+    if not os.path.isdir(ref):
+        import pytest
+
+        pytest.skip("reference HAR corpora not present")
+    with tempfile.TemporaryDirectory() as tmp:
+        indir, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(indir)
+        for f in ("001.har", "002.har", "003.har"):
+            shutil.copy(f"{ref}/{f}", f"{indir}/{f}")
+        stream = har_source.stream_har_documents(spark, indir, max_files=2)
+        q = ingest.incremental_pipeline(stream, out, ckpt).start()
+        q.awaitTermination(120)
+        first = spark.read.parquet(f"{out}/join_result")
+        first_docs = {r.doc_id for r in first.select("doc_id").distinct().collect()}
+        assert first_docs == {"001", "002", "003"}
+        n_epochs_1 = first.select("epoch").distinct().count()
+        assert n_epochs_1 >= 2  # maxFilesPerTrigger=2 over 3 files
+
+        for f in ("004.har", "005.har"):
+            shutil.copy(f"{ref}/{f}", f"{indir}/{f}")
+        stream2 = har_source.stream_har_documents(spark, indir, max_files=2)
+        q2 = ingest.incremental_pipeline(stream2, out, ckpt).start()
+        q2.awaitTermination(120)
+        got = spark.read.parquet(f"{out}/join_result")
+        # wave 2 processed ONLY the new files (file-source exactly-once)
+        assert {r.doc_id for r in got.select("doc_id").distinct().collect()} == {
+            "001", "002", "003", "004", "005"
+        }
+        assert got.count() == got.dropDuplicates(["doc_id", "span_idx"]).count()
+
+        want = resolve_exact(
+            parse_documents(har_source.read_har_dir(spark, indir))
+        )
+        assert got.count() == want.count()
+        key = ["doc_id", "span_idx", "parent_idx", "join_kind"]
+        assert got.select(*key).exceptAll(want.select(*key)).count() == 0
