@@ -250,6 +250,55 @@ def _sorted_entries(har: dict) -> list[dict]:
     return sorted(entries, key=lambda e: str(e.get("startedDateTime", "")))
 
 
+def _initial_redirects(
+    entries: list[dict],
+    urls: list[str],
+    final_redirect: str,
+) -> tuple[list[str], bool]:
+    """The reference's initial_redirects chain reconstruction
+    (har2tree.py:268-303): from the first entry, follow either the
+    previous entry's rebuilt redirectURL or a Referer pointing at the
+    previous response URL, stopping at the final redirect.  Returns
+    (redirect URLs in order, need_tree_redirects) -- the latter set when
+    the chain cannot be found without the tree, in which case the list is
+    just [final_redirect], exactly like the reference's fallback."""
+    if not entries:
+        return [], False
+    out: list[str] = []
+    prev = entries[0]
+    prev_url = urls[0]
+    hit_final = False
+    for i, e in enumerate(entries[1:], start=1):
+        redirect = str(prev.get("response", {}).get("redirectURL", "") or "")
+        if redirect:
+            # rebuild vs the single candidate (the reference's
+            # rebuild_url with known_urls=[e.url]): urljoin + the
+            # trailing-slash repair against that candidate
+            resolved = _norm(urljoin(prev_url, redirect))
+            if resolved != urls[i] and resolved + "/" == urls[i]:
+                resolved += "/"
+            if resolved == urls[i]:
+                out.append(urls[i])
+                prev, prev_url = e, urls[i]
+            else:
+                continue
+        else:
+            ref = _header(e, "referer")
+            prev_resp_url = prev.get("response", {}).get("url")
+            if ref and prev_resp_url and _norm(ref) == _norm(str(prev_resp_url)):
+                out.append(urls[i])
+                prev, prev_url = e, urls[i]
+            else:
+                continue
+        if urls[i] == final_redirect:
+            hit_final = True
+            break
+    if not hit_final:
+        # unable to find the chain without the whole tree
+        return [final_redirect], True
+    return out, False
+
+
 def _resolve_final_redirect(last_redirect: str, urls: list[str]) -> tuple[str, bool]:
     """The reference's ``_search_final_redirect`` ladder (har2tree.py:198-222):
     walk the entries in order looking for an exact match, else a
@@ -375,7 +424,34 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
         "downloaded_bytes": None,
         "frames_json": None,
         "n_frames": None,
+        # HarFile capture metadata (har2tree.py:223-313), sidecar-independent
+        "n_entries": len(entries),
+        "initial_title": None,
+        "initial_start_time": "-",
+        "root_url_key": None,
+        "root_referrer_key": None,
+        "root_user_agent": None,
+        "has_initial_redirects": None,
+        "initial_redirect_keys": None,
+        "need_tree_redirects": None,
     }
+
+    # initial_title (har2tree.py:228-234: first page's title, with the
+    # reference's literal no-title sentinel); initial_start_time (236-241)
+    pages = har.get("log", {}).get("pages") or []
+    title = pages[0].get("title") if pages and isinstance(pages[0], dict) else None
+    row["initial_title"] = str(title) if title else "!! No title found !!"
+    if entries:
+        row["initial_start_time"] = str(entries[0].get("startedDateTime", "-") or "-")
+        # root_url (250-253: first URL, stripped) and the first entry's
+        # Referer / User-Agent headers (304-313)
+        root_raw = str(entries[0].get("request", {}).get("url", "") or "").strip()
+        if root_raw:
+            row["root_url_key"] = url_key(_norm(root_raw))
+        if ref0 := _header(entries[0], "referer"):
+            row["root_referrer_key"] = url_key(_norm(ref0))
+        if ua := _header(entries[0], "user-agent"):
+            row["root_user_agent"] = ua
 
     # last_redirect.txt -> final-redirect resolution (har2tree.py:127-137):
     # unquote_plus on the raw file content, then the search ladder; a
@@ -387,6 +463,20 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
         row["final_redirect_url"] = final_url
         row["final_redirect_found"] = found
         row["final_redirect_key"] = url_key(final_url) if found else None
+        # has_initial_redirects (har2tree.py:262-266): the first URL differs
+        # from the address-bar URL; initial_redirects (268-303): the chain
+        # reconstructed without the tree, falling back to [final_redirect]
+        # with need_tree_redirects set when it cannot be found
+        if entries:
+            has_ir = urls[0] != final_url
+            row["has_initial_redirects"] = has_ir
+            if has_ir:
+                chain, need_tree = _initial_redirects(entries, urls, final_url)
+                row["initial_redirect_keys"] = [url_key(u) for u in chain if u]
+                row["need_tree_redirects"] = need_tree
+            else:
+                row["initial_redirect_keys"] = []
+                row["need_tree_redirects"] = False
 
     # rendered node (har2tree.py:655-672): search by final redirect, else
     # walk the root's redirect chain.  Always computed -- the reference
@@ -586,6 +676,15 @@ def captures_schema():
             T.StructField("downloaded_bytes", T.LongType(), True),
             T.StructField("frames_json", T.StringType(), True),
             T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("n_entries", T.IntegerType(), True),
+            T.StructField("initial_title", T.StringType(), True),
+            T.StructField("initial_start_time", T.StringType(), True),
+            T.StructField("root_url_key", T.StringType(), True),
+            T.StructField("root_referrer_key", T.StringType(), True),
+            T.StructField("root_user_agent", T.StringType(), True),
+            T.StructField("has_initial_redirects", T.BooleanType(), True),
+            T.StructField("initial_redirect_keys", T.ArrayType(T.StringType()), True),
+            T.StructField("need_tree_redirects", T.BooleanType(), True),
         ]
     )
 

@@ -448,3 +448,42 @@ def test_attach_frames_walk(spark, capture_dir):
     # f4 is unresolvable -> warn-and-stop: neither it nor its child f5
     # (whose URL d IS in the tree) attaches anywhere
     assert set(got.index) == {("cap", 1), ("cap", 2)}
+
+
+def test_capture_metadata_columns(spark, capture_dir):
+    # HarFile metadata surface (har2tree.py:223-313) on the capture reader
+    root, (a, b, c, d) = capture_dir
+    docs = har_source.read_har_captures(spark, root).toPandas().set_index("doc_id")
+    cap = docs.loc["cap"]
+    assert cap["n_entries"] == 4
+    assert cap["initial_title"] == "!! No title found !!"  # no pages block
+    assert cap["initial_start_time"] == "2024-01-01T00:00:00"
+    assert cap["root_url_key"] == har_source.url_key(a)
+    assert cap["root_referrer_key"] is None and cap["root_user_agent"] is None
+    # a 302 opens the capture and the address bar holds the landing URL
+    assert bool(cap["has_initial_redirects"])
+    assert list(cap["initial_redirect_keys"]) == [har_source.url_key(b)]
+    assert not cap["need_tree_redirects"]
+    bare = docs.loc["bare"]
+    # metadata is sidecar-independent; redirect flags need last_redirect
+    assert bare["n_entries"] == 1 and bare["root_url_key"] == har_source.url_key(a)
+    assert bare["has_initial_redirects"] is None or bare["has_initial_redirects"] != bare["has_initial_redirects"]
+
+
+def test_initial_redirects_arms():
+    # referer arm: no redirectURL on the previous entry, but the next
+    # entry's Referer matches the previous response url (har2tree.py:291-295)
+    e0 = _mk_entry("https://x/", started="t0")
+    e0["response"]["url"] = "https://x/"
+    e1 = _mk_entry("https://x/next", started="t1")
+    e1["request"]["headers"] = [{"name": "Referer", "value": "https://x/"}]
+    chain, need_tree = har_source._initial_redirects(
+        [e0, e1], ["https://x/", "https://x/next"], "https://x/next"
+    )
+    assert chain == ["https://x/next"] and not need_tree
+    # fallback arm: chain cannot be reconstructed -> [final], need_tree
+    e2 = _mk_entry("https://x/other", started="t1")
+    chain, need_tree = har_source._initial_redirects(
+        [e0, e2], ["https://x/", "https://x/other"], "https://y/elsewhere"
+    )
+    assert chain == ["https://y/elsewhere"] and need_tree
