@@ -49,11 +49,13 @@ ATTACH_SCHEMA = T.StructType(
 )
 
 
-def _local_only(url: str | None) -> bool:
-    """The reference's _url_to_local_only_content (har2tree.py:431-437)."""
+def _local_only(url) -> bool:
+    """The reference's _url_to_local_only_content (har2tree.py:431-437);
+    a non-string url reads as local-only (totality)."""
+    if url is None or not isinstance(url, str):
+        return True
     return (
-        url is None
-        or url in ("about:blank", "about:srcdoc", "")
+        url in ("about:blank", "about:srcdoc", "")
         or url.startswith("data")
         or url.startswith("chrome-error")
         or url.startswith("blob")

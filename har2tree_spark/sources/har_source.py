@@ -148,8 +148,11 @@ def _kind_of(status: int, mimetype: str, resource_type: str, redirect: bool) -> 
 
 def _header(entry: dict, name: str) -> str:
     """Case-insensitive request-header lookup (har2tree.py:255-260)."""
-    for h in entry.get("request", {}).get("headers", ()):
-        if str(h.get("name", "")).lower() == name:
+    headers = _dict(entry.get("request")).get("headers") or ()
+    if not isinstance(headers, (list, tuple)):
+        return ""
+    for h in headers:
+        if isinstance(h, dict) and str(h.get("name", "")).lower() == name:
             return str(h.get("value", ""))
     return ""
 
@@ -163,9 +166,11 @@ def _stack_levels(stack: dict) -> list[str]:
     seen = 0
     while isinstance(stack, dict) and seen < 64:  # defensive depth cap
         frames = stack.get("callFrames") or []
+        if not isinstance(frames, list):
+            frames = []
         levels.append(
             " ".join(
-                url_key(_norm(f["url"])) if f.get("url") else ""
+                url_key(_norm(str(f["url"]))) if f.get("url") else ""
                 for f in frames
                 if isinstance(f, dict)
             )
@@ -190,7 +195,7 @@ def _redirect_target(entry: dict, url: str, universe: set[str]) -> str:
     """Resolve response.redirectURL to a normalized target URL.  urljoin +
     the trailing-slash repair against the doc's URL universe (the pragmatic
     core of the reference's rebuild_url, helper.py)."""
-    target = str(entry.get("response", {}).get("redirectURL", "") or "")
+    target = str(_dict(entry.get("response")).get("redirectURL", "") or "")
     resolved = _norm(urljoin(url, target))
     if resolved not in universe and resolved + "/" in universe:
         resolved += "/"
@@ -206,7 +211,7 @@ def _redirect_media(entry: dict, url: str, universe: set[str]) -> str:
 def _body_text(entry: dict) -> str:
     """Decoded response body text ('' when absent) -- the reference's body
     feature incl. the dirty-safe-b64 arm (nodes.py:540-553)."""
-    content = entry.get("response", {}).get("content", {}) or {}
+    content = _dict(_dict(entry.get("response")).get("content"))
     text = content.get("text") or ""
     if not text:
         return ""
@@ -244,9 +249,21 @@ def _resource_tokens(body: str, base_url: str, universe: set[str], own: str) -> 
     return out
 
 
+def _dict(v) -> dict:
+    """Tolerant sub-object access: a malformed scalar where the HAR spec
+    says object reads as empty (the engine's quarantine-grade totality --
+    the reference would raise here and lose the whole capture)."""
+    return v if isinstance(v, dict) else {}
+
+
 def _sorted_entries(har: dict) -> list[dict]:
-    """Entries in startedDateTime order (stable -- har2tree.py:181-183)."""
-    entries = har.get("log", {}).get("entries", []) or []
+    """Entries in startedDateTime order (stable -- har2tree.py:181-183).
+    Non-dict entries are dropped (totality; see _dict)."""
+    log = _dict(_dict(har).get("log"))
+    entries = log.get("entries") or []
+    if not isinstance(entries, list):
+        return []
+    entries = [e for e in entries if isinstance(e, dict)]
     return sorted(entries, key=lambda e: str(e.get("startedDateTime", "")))
 
 
@@ -269,7 +286,7 @@ def _initial_redirects(
     prev_url = urls[0]
     hit_final = False
     for i, e in enumerate(entries[1:], start=1):
-        redirect = str(prev.get("response", {}).get("redirectURL", "") or "")
+        redirect = str(_dict(prev.get("response")).get("redirectURL", "") or "")
         if redirect:
             # rebuild vs the single candidate (the reference's
             # rebuild_url with known_urls=[e.url]): urljoin + the
@@ -284,7 +301,7 @@ def _initial_redirects(
                 continue
         else:
             ref = _header(e, "referer")
-            prev_resp_url = prev.get("response", {}).get("url")
+            prev_resp_url = _dict(prev.get("response")).get("url")
             if ref and prev_resp_url and _norm(ref) == _norm(str(prev_resp_url)):
                 out.append(urls[i])
                 prev, prev_url = e, urls[i]
@@ -356,15 +373,15 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
     the classic two-column row is returned unchanged."""
     entries = _sorted_entries(har)
     universe = {
-        _norm(str(e.get("request", {}).get("url", "")))
+        _norm(str(_dict(e.get("request")).get("url", "")))
         for e in entries
-        if e.get("request", {}).get("url")
+        if _dict(e.get("request")).get("url")
     }
     spans = []
     urls: list[str] = []  # per-entry normalized URL ('' for empty entries)
     redirect_targets: list[str] = []  # per-entry resolved redirect URL or ''
     for i, e in enumerate(entries):
-        raw_url = str(e.get("request", {}).get("url", "") or "")
+        raw_url = str(_dict(e.get("request")).get("url", "") or "")
         if not raw_url:
             # empty-URL entry: featureless span, dropped by P1 exactly like
             # the reference's ignore-list (har2tree.py:587-589)
@@ -375,14 +392,17 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
         url = _norm(raw_url)
         urls.append(url)
         own = url_key(url)
-        status = int(e.get("response", {}).get("status", 0) or 0)
-        redirect = bool(e.get("response", {}).get("redirectURL"))
+        try:
+            status = int(_dict(e.get("response")).get("status", 0) or 0)
+        except (ValueError, TypeError):
+            status = 0  # non-numeric status reads as the invalid-entry arm
+        redirect = bool(_dict(e.get("response")).get("redirectURL"))
         redirect_targets.append(
             _redirect_target(e, raw_url, universe) if redirect and status > 0 else ""
         )
         kind = _kind_of(
             status,
-            str(e.get("response", {}).get("content", {}).get("mimeType", "") or ""),
+            str(_dict(_dict(e.get("response")).get("content")).get("mimeType", "") or ""),
             str(e.get("_resourceType", "") or ""),
             redirect and status > 0,
         )
@@ -438,14 +458,16 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
 
     # initial_title (har2tree.py:228-234: first page's title, with the
     # reference's literal no-title sentinel); initial_start_time (236-241)
-    pages = har.get("log", {}).get("pages") or []
+    pages = _dict(_dict(har).get("log")).get("pages") or []
+    if not isinstance(pages, list):
+        pages = []
     title = pages[0].get("title") if pages and isinstance(pages[0], dict) else None
     row["initial_title"] = str(title) if title else "!! No title found !!"
     if entries:
         row["initial_start_time"] = str(entries[0].get("startedDateTime", "-") or "-")
         # root_url (250-253: first URL, stripped) and the first entry's
         # Referer / User-Agent headers (304-313)
-        root_raw = str(entries[0].get("request", {}).get("url", "") or "").strip()
+        root_raw = str(_dict(entries[0].get("request")).get("url", "") or "").strip()
         if root_raw:
             row["root_url_key"] = url_key(_norm(root_raw))
         if ref0 := _header(entries[0], "referer"):
@@ -775,7 +797,7 @@ def read_har_bodies(spark, path: str, pattern: str = "*.har"):
                 for i, e in enumerate(_sorted_entries(_load_har_bytes(c))):
                     body = _body_text(e)
                     post = str(
-                        (e.get("request", {}).get("postData", {}) or {}).get("text", "")
+                        _dict(_dict(e.get("request")).get("postData")).get("text", "")
                         or ""
                     )
                     if body or post:
@@ -783,10 +805,9 @@ def read_har_bodies(spark, path: str, pattern: str = "*.har"):
                             {
                                 "doc_id": doc_id,
                                 "span_idx": i,
-                                "url": str(e.get("request", {}).get("url", "") or ""),
+                                "url": str(_dict(e.get("request")).get("url", "") or ""),
                                 "mimetype": str(
-                                    e.get("response", {})
-                                    .get("content", {})
+                                    _dict(_dict(e.get("response")).get("content"))
                                     .get("mimeType", "")
                                     or ""
                                 ),

@@ -487,3 +487,103 @@ def test_initial_redirects_arms():
         [e0, e2], ["https://x/", "https://x/other"], "https://y/elsewhere"
     )
     assert chain == ["https://y/elsewhere"] and need_tree
+
+
+def test_har_adapter_fuzz_totality():
+    """Never-throws fuzz for har_to_doc (+ sidecars) and the frames walk:
+    arbitrary malformed HAR/sidecar/frame structures must produce a
+    schema-stable row, mirroring the reference's pervasive try/except +
+    .get() tolerance for broken captures."""
+    import json as _json
+    import random
+
+    from har2tree_spark.operators.frames import _walk_frames
+
+    rng = random.Random(4242)
+    junk = [None, "", "x", 0, -1, 3.5, True, [], {}, {"a": 1}, [1, 2], "k1"]
+
+    def rand_scalar():
+        return rng.choice(junk)
+
+    def rand_entry():
+        e = {}
+        if rng.random() < 0.9:
+            e["startedDateTime"] = rng.choice(["t", "", None, 5, "2024-01-01"])
+        if rng.random() < 0.9:
+            e["request"] = rng.choice(
+                [
+                    {},
+                    {"url": rng.choice(["https://a/", "", None, "rel", "%zz", "a b"])},
+                    {"url": "https://a/x", "headers": rng.choice([[], None, [{"name": "Referer", "value": "https://a/"}], [{"bad": 1}]])},
+                    rand_scalar(),
+                ]
+            )
+        if rng.random() < 0.9:
+            e["response"] = rng.choice(
+                [
+                    {},
+                    {"status": rng.choice([0, 200, -1, None, "x"]), "redirectURL": rng.choice(["", "/r", "http://b/", None, 7])},
+                    {"content": rng.choice([{}, {"mimeType": rng.choice(["text/html", None, 9]), "text": rng.choice(["<a href=x>", "", None]), "encoding": rng.choice([None, "base64", "bogus"])}, rand_scalar()])},
+                    rand_scalar(),
+                ]
+            )
+        if rng.random() < 0.3:
+            e["_initiator"] = rng.choice(
+                [{}, {"url": "https://i/"}, {"stack": {"callFrames": [{"url": "https://f/"}, {}]}}, {"stack": {"callFrames": rand_scalar()}}, rand_scalar()]
+            )
+        return e
+
+    def rand_frame(depth=0):
+        f = {}
+        if rng.random() < 0.8:
+            f["content"] = rng.choice(["<p>", "", None, 5])
+        if rng.random() < 0.8:
+            f["url"] = rng.choice(["https://a/x", "about:blank", "data:x", "", None, 3, "https://a/x#f"])
+        if depth < 2 and rng.random() < 0.5:
+            f["children"] = [rand_frame(depth + 1) for _ in range(rng.randrange(0, 3))]
+        return rng.choice([f, rand_scalar()]) if rng.random() < 0.15 else f
+
+    expected_keys = None
+    for trial in range(300):
+        har = rng.choice(
+            [
+                {},
+                {"log": rand_scalar()},
+                {"log": {"entries": rand_scalar()}},
+                {"log": {"entries": [rand_entry() for _ in range(rng.randrange(0, 6))], "pages": rng.choice([[], None, [{"title": rand_scalar()}], rand_scalar()])}},
+            ]
+        )
+        # entries must at least be sortable; the loader guarantees a list
+        if not isinstance(har.get("log", {}), dict) or not isinstance(
+            har.get("log", {}).get("entries", []), list
+        ):
+            har = {"log": {"entries": []}}
+        sidecars = {
+            k: v
+            for k, v in {
+                "last_redirect": rng.choice([None, b"https://a/x", b"", b"%zz", "chrome://x".encode()]),
+                "cookies": rng.choice([None, b"[]", b"{bad", _json.dumps([{"name": "a", "value": 1}, 5]).encode()]),
+                "frames": rng.choice([None, b"{}", b"[1]", b"{bad", _json.dumps(rand_frame()).encode()]),
+                "data": rng.choice([None, b"", b"\x00\xff"]),
+                "data_filename": rng.choice([None, b"f", b""]),
+                "html": rng.choice([None, b"<img src=x>", b"\xff\xfe", b""]),
+            }.items()
+            if v is not None
+        }
+        row = har_source.har_to_doc(f"f{trial}", har, sidecars)
+        if expected_keys is None:
+            expected_keys = set(row)
+        assert set(row) == expected_keys  # schema-stable under any input
+        assert isinstance(row["spans"], list)
+        for s in row["spans"]:
+            assert set(s) == {"kind", "text", "media_ref", "offset"}
+        # frames walk totality over the same junk
+        keys = {i: f"k{i}" for i in range(len(row["spans"]))}
+        children = {i: [i + 1] for i in range(len(row["spans"]) - 1)}
+        try:
+            frames = _json.loads(row.get("frames_json") or "null")
+        except ValueError:
+            frames = None
+        if isinstance(frames, dict):
+            out = _walk_frames(frames, 0 if keys else None, keys, children)
+            assert all(isinstance(v, list) for v in out.values())
