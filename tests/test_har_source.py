@@ -587,3 +587,32 @@ def test_har_adapter_fuzz_totality():
         if isinstance(frames, dict):
             out = _walk_frames(frames, 0 if keys else None, keys, children)
             assert all(isinstance(v, list) for v in out.values())
+
+
+def test_captures_reader_gzip_har(spark, capture_dir, tmp_path):
+    # a gzipped HAR with sidecars keys the same capture root and produces
+    # the same row as the plain-file capture (har2tree.py:108-111 gz arm)
+    import gzip as _gzip
+    import shutil
+
+    root, _ = capture_dir
+    gzdir = tmp_path / "gz"
+    gzdir.mkdir()
+    with open(f"{root}/cap.har", "rb") as fh:
+        (gzdir / "cap.har.gz").write_bytes(_gzip.compress(fh.read()))
+    for side in ("cap.last_redirect.txt", "cap.cookies.json", "cap.html"):
+        shutil.copy(f"{root}/{side}", gzdir / side)
+    got = (
+        har_source.read_har_captures(spark, str(gzdir)).toPandas().set_index("doc_id")
+    )
+    want = (
+        har_source.read_har_captures(spark, root).toPandas().set_index("doc_id")
+    )
+    assert list(got.index) == ["cap"]
+    g, w = got.loc["cap"], want.loc["cap"]
+    assert list(g["spans"]) == list(w["spans"])
+    for col in ("final_redirect_key", "rendered_span_idx", "initial_cookies", "n_entries", "root_url_key", "initial_redirect_keys"):
+        gv, wv = g[col], w[col]
+        assert (list(gv) if hasattr(gv, "__len__") and not isinstance(gv, str) else gv) == (
+            list(wv) if hasattr(wv, "__len__") and not isinstance(wv, str) else wv
+        )
