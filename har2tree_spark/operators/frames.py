@@ -85,7 +85,10 @@ def _walk_frames(
             yield n
             q.extend(children.get(n, ()))
 
-    def load(current: int, frame: dict) -> None:
+    def load(current: int, frame: dict, depth: int = 0) -> None:
+        if depth >= 64:
+            return  # hostile/corrupt nesting: stop the branch (the same
+            # 64-level guard the initiator stack walk uses, _stack_levels)
         if not isinstance(frame, dict) or not frame.get("content"):
             return  # contentless frame: debug-only in the reference
         url = frame.get("url")
@@ -97,14 +100,14 @@ def _walk_frames(
                 if keys.get(node) in names:
                     out.setdefault(node, []).append(digest)
                     for child in frame.get("children") or ():
-                        load(node, child)
+                        load(node, child, depth + 1)
                     break
             else:
                 return  # node not found: warn-and-stop branch
         else:
             out.setdefault(current, []).append(digest)
             for child in frame.get("children") or ():
-                load(current, child)
+                load(current, child, depth + 1)
 
     for f_child in frames.get("children") or ():
         load(rendered_idx, f_child)
@@ -139,25 +142,32 @@ def attach_frames(captures: DataFrame, features: DataFrame, tree: DataFrame) -> 
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, r in pdf.iterrows():
+        # column-wise zip, not iterrows: ~an order of magnitude less
+        # per-row overhead if rendered-frame captures ever dominate a batch
+        for doc_id, ridx, frames_json, nodes in zip(
+            pdf["doc_id"].tolist(),
+            pdf["rendered_span_idx"].tolist(),
+            pdf["frames_json"].tolist(),
+            pdf["nodes"].tolist(),
+        ):
             keys: dict[int, str | None] = {}
             children: dict[int, list[int]] = {}
-            nodes = r["nodes"] if r["nodes"] is not None else []
-            for n in sorted(nodes, key=lambda n: n["span_idx"]):
+            for n in sorted(nodes if nodes is not None else [], key=lambda n: n["span_idx"]):
                 keys[n["span_idx"]] = n["key"]
                 if n["parent_idx"] is not None and n["parent_idx"] >= 0:
                     children.setdefault(n["parent_idx"], []).append(n["span_idx"])
             try:
-                frames = json.loads(r["frames_json"])
-            except (ValueError, TypeError):
+                frames = json.loads(frames_json)
+            except (ValueError, TypeError, RecursionError):
+                # RecursionError: a hostile frames.json can out-nest the
+                # JSON decoder itself, not just the walk
                 continue
-            ridx = r["rendered_span_idx"]
             attached = _walk_frames(
                 frames, None if pd.isna(ridx) else int(ridx), keys, children
             )
             rows.extend(
                 {
-                    "doc_id": r["doc_id"],
+                    "doc_id": doc_id,
                     "span_idx": idx,
                     "iframe": True,
                     "n_rendered_frames": len(digests),

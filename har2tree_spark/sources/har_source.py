@@ -32,13 +32,28 @@ Mapping dictionary (SURVEY.md SS1.2, reference file:line):
                                    else it stays in the tree -- the
                                    reference's exact rule (har2tree.py:575-603)
   * response.redirectURL        -> kind 'redirect', media_ref = target key
-                                   (urljoin + trailing-slash repair vs the
-                                   doc's URL universe -- the spirit of
-                                   rebuild_url, helper.py; unresolvable
-                                   targets keep their hash key and fall to
-                                   the spatial fallback, mirroring the
-                                   reference's "redirect to nowhere" warning
-                                   path har2tree.py:929-935)
+                                   (the FULL rebuild_url repair ladder vs
+                                   the doc's URL universe --
+                                   sources/urlkit.rebuild_url, the
+                                   reference's helper.py:130-201 exactly;
+                                   unresolvable targets keep their hash key
+                                   and fall to the spatial fallback,
+                                   mirroring the reference's "redirect to
+                                   nowhere" warning path har2tree.py:929-935)
+  * JS / meta-refresh redirect  -> an html entry whose body carries a
+                                   location.* assignment or a meta refresh
+                                   whose rebuilt target is another request
+                                   of this document feeds the rendered-node
+                                   best-guess walk (the reference sets the
+                                   node 'redirect' feature for these too,
+                                   nodes.py:577-590, and the rendered walk
+                                   follows that feature, har2tree.py:657-672).
+                                   The span KIND stays 'html' (its resource/
+                                   referer edges survive, exactly like the
+                                   reference's non-early-returning redirect
+                                   arm); the queryable per-span JS-redirect
+                                   surface remains the engine's F19
+                                   operator (operators/soup.js_redirects).
   * _initiator url (parser)     -> media_ref = initiator key (nodes.py:598-601)
   * _initiator stack (script)   -> media_ref = 'stack:<lvl0>|<lvl1>|...'
                                    per level a space-joined callFrame key
@@ -88,7 +103,7 @@ import gzip
 import hashlib
 import json
 import re
-from urllib.parse import unquote_plus, urljoin
+from urllib.parse import unquote_plus
 
 from har2tree_spark.operators.soup import (
     CSS_IMPORT_RE,
@@ -96,6 +111,7 @@ from har2tree_spark.operators.soup import (
     _parse_markup_events,
 )
 from har2tree_spark.schema import DOCUMENTS_SCHEMA
+from har2tree_spark.sources.urlkit import rebuild_url
 
 # key_num in [1, 10^15-1]: matches parse.KEY_TOKEN_RE (<=15 digits, no
 # leading zeros) and stays < 2^53 so the key<->float64 round trip is exact.
@@ -192,20 +208,52 @@ def _initiator_media(entry: dict) -> str:
 
 
 def _redirect_target(entry: dict, url: str, universe: set[str]) -> str:
-    """Resolve response.redirectURL to a normalized target URL.  urljoin +
-    the trailing-slash repair against the doc's URL universe (the pragmatic
-    core of the reference's rebuild_url, helper.py)."""
+    """Resolve response.redirectURL to a target URL with the reference's
+    FULL repair ladder (urlkit.rebuild_url = helper.py:130-201: '?'/'#'
+    re-append, default-port strip, fragment inherit, dot-segment collapse,
+    trailing-slash re-add), called exactly where the reference calls it --
+    node name (normalized URL) as base, the doc's URL universe as
+    known_urls (nodes.py:626-631)."""
     target = str(_dict(entry.get("response")).get("redirectURL", "") or "")
-    resolved = _norm(urljoin(url, target))
-    if resolved not in universe and resolved + "/" in universe:
-        resolved += "/"
-    return resolved
+    return rebuild_url(url, target, universe)
 
 
 def _redirect_media(entry: dict, url: str, universe: set[str]) -> str:
     """Redirect target as a span key; a target outside the universe keeps
     its hash key and will take the spatial-fallback path."""
     return url_key(_redirect_target(entry, url, universe))
+
+
+# the reference's JS-redirect scan (nodes.py:577-586): location.href /
+# window.location / location.replace / location.assign assignments or
+# calls with a quoted literal target, trailing ';' required
+_JS_REDIRECT_PY = re.compile(
+    r"(?:location\.href|window\.location|location\.replace|location\.assign)"
+    r"(?: ?= ?| ?\( ?)[\"']([^'\"]*)[\"'](?: ?\) ?)?;",
+    re.I,
+)
+_META_REFRESH_PY = re.compile(r'http-equiv="refresh"[^>]*url=([^">]*)', re.I)
+
+
+def _js_meta_redirect(body: str, url: str, universe: set[str]) -> str:
+    """In-universe redirect target carried by an html BODY, or ''.
+
+    The reference arms in priority order (nodes.py:577-590): every JS
+    location.* match is rebuilt and the LAST one resolving against the
+    doc's requests wins; a meta-refresh target (first one, url_cleanup'd
+    like any extracted resource) overrides it.  Feeds the rendered-node
+    best-guess walk; the HTTP redirectURL arm still overrides both at the
+    call site (the reference's load order, nodes.py:626)."""
+    target = ""
+    for m in _JS_REDIRECT_PY.findall(body):
+        t = rebuild_url(url, m, universe)
+        if t in universe:
+            target = t
+    if m2 := _META_REFRESH_PY.search(body):
+        t = rebuild_url(url, _clean_extracted(m2.group(1)), universe)
+        if t != url and t.startswith("http") and t in universe:
+            target = t
+    return target
 
 
 def _body_text(entry: dict) -> str:
@@ -226,21 +274,43 @@ def _body_text(entry: dict) -> str:
     return str(text)
 
 
+def _clean_extracted(ref: str) -> str:
+    """url_cleanup's quote stripping for a URL extracted from markup
+    (helper.py:209-220): backslash-escaped quote wrappers, then plain
+    leading/trailing quotes the fulltext regex can pick up."""
+    to_attach = ref.strip()
+    if to_attach.startswith(("\\'", '\\"')):
+        to_attach = to_attach[2:-2]
+    if to_attach.startswith(("'", '"')):
+        to_attach = to_attach[1:-1]
+    if to_attach.endswith(("'", '"')):
+        to_attach = to_attach[:-1]
+    return to_attach
+
+
 def _resource_tokens(body: str, base_url: str, universe: set[str], own: str) -> list[str]:
     """Embedded-resource keys for a markup body: the soup operator's real
     parser for tag attributes plus its CSS regex arms, each candidate
-    resolved against the base URL and kept iff it is another request in
-    this document (find_external_ressources' all_requests gate,
+    cleaned + repaired with the reference's url_cleanup pipeline
+    (data:-skip, quote strip, rebuild_url, base-URL loop skip, http-only
+    gate -- helper.py:203-232) and kept iff it is another request in this
+    document (find_external_ressources' all_requests gate,
     helper.py:356-466)."""
     _, refs = _parse_markup_events(body)
     refs = list(refs) + _CSS_URL.findall(body) + _CSS_IMPORT.findall(body)
     out: list[str] = []
     seen: set[str] = set()
     for ref in refs:
-        ref = ref.strip()
-        if not ref or ref.startswith(("data:", "javascript:", "about:")):
+        if ref.startswith("data"):
             continue
-        resolved = _norm(urljoin(base_url, ref))
+        cleaned = _clean_extracted(ref)
+        if not cleaned:
+            continue
+        resolved = rebuild_url(base_url, cleaned, universe)
+        if resolved == base_url:  # basically a loop
+            continue
+        if not resolved.startswith("http"):
+            continue
         if resolved in universe:
             k = url_key(resolved)
             if k != own and k not in seen:
@@ -288,12 +358,10 @@ def _initial_redirects(
     for i, e in enumerate(entries[1:], start=1):
         redirect = str(_dict(prev.get("response")).get("redirectURL", "") or "")
         if redirect:
-            # rebuild vs the single candidate (the reference's
-            # rebuild_url with known_urls=[e.url]): urljoin + the
-            # trailing-slash repair against that candidate
-            resolved = _norm(urljoin(prev_url, redirect))
-            if resolved != urls[i] and resolved + "/" == urls[i]:
-                resolved += "/"
+            # the reference's rebuild_url with known_urls=[e.url]
+            # (har2tree.py:283-287): the full repair ladder against the
+            # single candidate
+            resolved = rebuild_url(prev_url, redirect, (urls[i],))
             if resolved == urls[i]:
                 out.append(urls[i])
                 prev, prev_url = e, urls[i]
@@ -397,17 +465,25 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
         except (ValueError, TypeError):
             status = 0  # non-numeric status reads as the invalid-entry arm
         redirect = bool(_dict(e.get("response")).get("redirectURL"))
-        redirect_targets.append(
-            _redirect_target(e, raw_url, universe) if redirect and status > 0 else ""
-        )
         kind = _kind_of(
             status,
             str(_dict(_dict(e.get("response")).get("content")).get("mimeType", "") or ""),
             str(e.get("_resourceType", "") or ""),
             redirect and status > 0,
         )
+        body = _body_text(e) if kind in ("html", "css", "js") else ""
+        # per-entry redirect target for the rendered-node walk: the HTTP
+        # redirectURL arm wins; an html body's JS/meta-refresh redirect is
+        # the reference's other 'redirect'-feature source (nodes.py:577-590)
         if redirect and status > 0:
-            media = url_key(redirect_targets[-1])
+            rt = _redirect_target(e, url, universe)
+        elif kind == "html" and body:
+            rt = _js_meta_redirect(body, url, universe)
+        else:
+            rt = ""
+        redirect_targets.append(rt)
+        if redirect and status > 0:
+            media = url_key(rt)
         else:
             media = _initiator_media(e)
             if not media:
@@ -415,10 +491,8 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
                 if ref:
                     media = url_key(_norm(ref))
         tokens = [own]
-        if kind in ("html", "css", "js"):
-            body = _body_text(e)
-            if body:
-                tokens += _resource_tokens(body, raw_url, universe, own)
+        if body:
+            tokens += _resource_tokens(body, url, universe, own)
         spans.append(
             {
                 "kind": kind,
@@ -546,11 +620,14 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
     # rendered .html -> add_rendered_features (nodes.py:87-109): merge the
     # rendered page's resolved resource keys into the rendered node's span
     # text (dedup'd -- the engine's span-token contract), skipping an
-    # empty-response rendered node exactly like har2tree.py:740.
+    # empty-response rendered node exactly like har2tree.py:740.  The gate
+    # is the reference's empty_response semantics (nodes.py:541-546): an
+    # empty response BODY, not a 0 status -- a 2xx entry with no content
+    # text skips the merge too.
     if (html := sidecars.get("html")) is not None:
         text = _as_text(html)
         row["rendered_html"] = text
-        if ridx is not None and spans[ridx]["kind"] != "empty" and spans[ridx]["text"]:
+        if ridx is not None and spans[ridx]["text"] and _body_text(entries[ridx]):
             base = urls[ridx]
             have = set(spans[ridx]["text"].split(" "))
             extra = [
@@ -573,6 +650,21 @@ def _load_har_bytes(blob: bytes) -> dict:
     if blob[:2] == b"\x1f\x8b":
         blob = gzip.decompress(blob)
     return json.loads(blob.decode("utf-8", "replace"))
+
+
+def _load_har_bytes_safe(blob: bytes) -> dict:
+    """Totality wrapper for the readers: a truncated gzip, corrupt JSON, or
+    non-object top level reads as {} -> har_to_doc emits an empty-spans
+    quarantine row (S3), so one poisoned file can neither fail a batch task
+    nor wedge the streaming file source on checkpoint replay (a thrown
+    micro-batch is retried with the SAME file forever)."""
+    try:
+        har = _load_har_bytes(blob)
+    except (ValueError, OSError, EOFError, RecursionError):
+        # json.JSONDecodeError is ValueError; gzip errors are OSError;
+        # truncated gzip raises EOFError; hostile nesting RecursionError
+        return {}
+    return har if isinstance(har, dict) else {}
 
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/+")
@@ -599,7 +691,7 @@ def _docs_from_binary(raw, root: str):
     def run(batches):
         for pdf in batches:
             rows = [
-                har_to_doc(_doc_id_of(p, root), _load_har_bytes(c))
+                har_to_doc(_doc_id_of(p, root), _load_har_bytes_safe(c))
                 for p, c in zip(pdf["path"].tolist(), pdf["content"].tolist())
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
@@ -750,13 +842,29 @@ def read_har_captures(spark, path: str):
     cols = [f.name for f in schema.fields]
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        by_role = dict(zip(pdf["role"].tolist(), pdf["content"].tolist()))
-        if "har" not in by_role:
+        hars = [
+            (p, c)
+            for p, c, r in zip(
+                pdf["path"].tolist(), pdf["content"].tolist(), pdf["role"].tolist()
+            )
+            if r == "har"
+        ]
+        if not hars:
             return pd.DataFrame(columns=cols)
+        # foo.har and foo.har.gz share the capture key: deterministic
+        # winner is the uncompressed .har (then lexicographic path), never
+        # whichever row the scan happened to order last
+        _, har_bytes = min(
+            hars, key=lambda pc: (0 if pc[0].endswith(".har") else 1, pc[0])
+        )
         capture = pdf["capture"].iloc[0]
-        sidecars = {r: c for r, c in by_role.items() if r != "har"}
+        sidecars = {
+            r: c
+            for r, c in zip(pdf["role"].tolist(), pdf["content"].tolist())
+            if r != "har"
+        }
         row = har_to_doc(
-            _doc_id_of(capture, path), _load_har_bytes(by_role["har"]), sidecars
+            _doc_id_of(capture, path), _load_har_bytes_safe(har_bytes), sidecars
         )
         return pd.DataFrame([row], columns=cols)
 
@@ -794,7 +902,7 @@ def read_har_bodies(spark, path: str, pattern: str = "*.har"):
             rows = []
             for p, c in zip(pdf["path"].tolist(), pdf["content"].tolist()):
                 doc_id = _doc_id_of(p, path)
-                for i, e in enumerate(_sorted_entries(_load_har_bytes(c))):
+                for i, e in enumerate(_sorted_entries(_load_har_bytes_safe(c))):
                     body = _body_text(e)
                     post = str(
                         _dict(_dict(e.get("request")).get("postData")).get("text", "")

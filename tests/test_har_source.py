@@ -616,3 +616,164 @@ def test_captures_reader_gzip_har(spark, capture_dir, tmp_path):
         assert (list(gv) if hasattr(gv, "__len__") and not isinstance(gv, str) else gv) == (
             list(wv) if hasattr(wv, "__len__") and not isinstance(wv, str) else wv
         )
+
+
+# --- round-7: totality guard, dedup winner, redirect-ladder + JS/meta arms ---
+
+
+def test_load_har_bytes_safe_totality():
+    import gzip as _gzip
+
+    good = {"log": {"entries": []}}
+    blob = _json_bytes(good)
+    assert har_source._load_har_bytes_safe(blob) == good
+    assert har_source._load_har_bytes_safe(_gzip.compress(blob)) == good
+    # corrupt JSON, truncated gzip, gzip-magic garbage, non-object top level
+    assert har_source._load_har_bytes_safe(b'{"log": {"entr') == {}
+    assert har_source._load_har_bytes_safe(_gzip.compress(blob)[:10]) == {}
+    assert har_source._load_har_bytes_safe(b"\x1f\x8bnot really gzip") == {}
+    assert har_source._load_har_bytes_safe(b"[1, 2, 3]") == {}
+
+
+def _json_bytes(obj) -> bytes:
+    import json as _json
+
+    return _json.dumps(obj).encode()
+
+
+def test_corrupt_har_quarantined_not_fatal(spark, tmp_path):
+    """One poisoned file must neither fail the batch task nor (same
+    closure, _docs_from_binary) wedge the streaming file source on
+    checkpoint replay: it lands as an empty-spans quarantine row."""
+    import gzip as _gzip
+    import json as _json
+
+    root = tmp_path / "mixed"
+    root.mkdir()
+    good = {"log": {"entries": [_mk_entry("https://ok.example/", started="2024-01-01T00:00:00")]}}
+    (root / "good.har").write_text(_json.dumps(good))
+    (root / "bad.har").write_text('{"log": {"entr')
+    (root / "trunc.har.gz").write_bytes(_gzip.compress(_json.dumps(good).encode())[:12])
+    docs = (
+        har_source.read_har_dir(spark, str(root), pattern="*.{har,har.gz}")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert set(docs.index) == {"good", "bad", "trunc"}
+    assert len(docs.loc["good", "spans"]) == 1
+    assert len(docs.loc["bad", "spans"]) == 0  # S3 quarantine row
+    assert len(docs.loc["trunc", "spans"]) == 0
+    # the captures reader takes the same guard
+    caps = har_source.read_har_captures(spark, str(root)).toPandas().set_index("doc_id")
+    assert caps.loc["bad", "n_entries"] == 0
+
+
+def test_duplicate_har_and_gz_prefers_plain(spark, tmp_path):
+    """foo.har + foo.har.gz share the capture key: the uncompressed .har is
+    the deterministic winner (one row, never a nondeterministic drop)."""
+    import gzip as _gzip
+    import json as _json
+
+    root = tmp_path / "dup"
+    root.mkdir()
+    plain = {"log": {"entries": [
+        _mk_entry("https://p.example/", started="2024-01-01T00:00:00"),
+        _mk_entry("https://p.example/2", started="2024-01-01T00:00:01"),
+    ]}}
+    other = {"log": {"entries": [_mk_entry("https://gz.example/", started="2024-01-01T00:00:00")]}}
+    (root / "foo.har").write_text(_json.dumps(plain))
+    (root / "foo.har.gz").write_bytes(_gzip.compress(_json.dumps(other).encode()))
+    caps = har_source.read_har_captures(spark, str(root)).toPandas()
+    assert len(caps) == 1
+    assert caps.iloc[0]["doc_id"] == "foo"
+    assert caps.iloc[0]["n_entries"] == 2  # the .har content, not the .gz
+
+
+def test_js_meta_redirect_feeds_rendered_walk():
+    """ADVICE r6: the rendered-node best-guess walk follows JS location.*
+    and meta-refresh redirects (the reference's node 'redirect' feature
+    sources, nodes.py:577-590), not just HTTP redirectURL."""
+    a, b, c = "https://a.example/", "https://a.example/landing", "https://a.example/end"
+    har = {"log": {"entries": [
+        _mk_entry(a, body="<script>window.location = 'landing';</script>",
+                  started="2024-01-01T00:00:00"),
+        _mk_entry(b, body='<meta http-equiv="refresh" content="0;url=end">',
+                  started="2024-01-01T00:00:01"),
+        _mk_entry(c, body="<p>done</p>", started="2024-01-01T00:00:02"),
+    ]}}
+    row = har_source.har_to_doc("jsmeta", har, sidecars={})
+    # no last_redirect sidecar -> best-guess walk: a -js-> landing -meta-> end
+    assert row["rendered_span_idx"] == 2
+    # the spans stay html (resource/referer edges survive, like the
+    # reference's non-early-returning redirect arm)
+    assert [s["kind"] for s in row["spans"]] == ["html", "html", "html"]
+    # an out-of-universe JS target does not count (nodes.py membership gate)
+    har2 = {"log": {"entries": [
+        _mk_entry(a, body="<script>location.href = 'https://elsewhere.example/';</script>",
+                  started="2024-01-01T00:00:00"),
+        _mk_entry(b, started="2024-01-01T00:00:01"),
+    ]}}
+    row2 = har_source.har_to_doc("jsmiss", har2, sidecars={})
+    assert row2["rendered_span_idx"] == 0
+
+
+def test_rendered_merge_gate_is_empty_response_body():
+    """ADVICE r6: the rendered-html merge gates on the reference's
+    empty_response (no response content TEXT, nodes.py:541-546), not on a
+    0 status: a 2xx rendered node with an empty body gets no merge."""
+    a, b = "https://m.example/", "https://m.example/pic.png"
+    har = {"log": {"entries": [
+        _mk_entry(a, body="", started="2024-01-01T00:00:00"),
+        _mk_entry(b, mime="image/png", started="2024-01-01T00:00:01"),
+    ]}}
+    html = '<html><img src="pic.png"></html>'
+    row = har_source.har_to_doc("gate", har, sidecars={"html": html})
+    # rendered node = span 0 (no redirects): 200 status but empty body ->
+    # merge skipped, span text stays the bare key
+    assert row["rendered_span_idx"] == 0
+    assert row["spans"][0]["text"] == har_source.url_key(a)
+    # same capture with a body -> the merge fires
+    har_body = {"log": {"entries": [
+        _mk_entry(a, body="<p>x</p>", started="2024-01-01T00:00:00"),
+        _mk_entry(b, mime="image/png", started="2024-01-01T00:00:01"),
+    ]}}
+    row2 = har_source.har_to_doc("gate2", har_body, sidecars={"html": html})
+    assert har_source.url_key(b) in row2["spans"][0]["text"].split()
+
+
+def test_adapter_redirect_ladder_arms():
+    """The adapter resolves real redirect targets with the FULL rebuild_url
+    ladder (helper.py:130-201), not just urljoin + trailing slash: one
+    redirect entry per ladder arm, each must key its repaired target."""
+    cases = [
+        # (base entry URL, raw redirectURL, target URL present in the doc)
+        ("https://h.example/x", "y?", "https://h.example/y?"),          # '?' re-append
+        ("https://h.example/x", "https://h.example:443/z", "https://h.example/z"),  # :443 strip
+        ("http://h.example/x", "http://h.example:80/w", "http://h.example/w"),      # :80 strip
+        ("https://h.example/p#frag", "https://h.example/q", "https://h.example/q#frag"),  # fragment inherit
+        ("https://h.example/path/sub", "https://h.example/path/./blah.js",
+         "https://h.example/path/blah.js"),                              # /./ collapse
+        ("https://h.example/subdir", "dest", "https://h.example/dest/"),  # trailing-slash re-add
+    ]
+    for i, (base, raw, target) in enumerate(cases):
+        har = {"log": {"entries": [
+            _mk_entry(base, status=302, redirect=raw, started="2024-01-01T00:00:00"),
+            _mk_entry(target, started="2024-01-01T00:00:01"),
+        ]}}
+        row = har_source.har_to_doc(f"ladder{i}", har)
+        assert row["spans"][0]["kind"] == "redirect"
+        assert row["spans"][0]["media_ref"] == har_source.url_key(target), (base, raw, target)
+
+
+def test_walk_frames_depth_cap():
+    """A hostile/corrupt deeply-nested frames.json stops at the 64-level
+    guard instead of raising RecursionError through the Arrow task."""
+    from har2tree_spark.operators.frames import _walk_frames
+
+    nested: dict = {"content": "leaf"}
+    for _ in range(200):
+        nested = {"content": "x", "children": [nested]}
+    frames = {"children": [nested]}
+    out = _walk_frames(frames, 0, {0: "k1"}, {})
+    # every URL-less frame attaches to the rendered node; the cap bounds it
+    assert sum(len(v) for v in out.values()) == 64
