@@ -93,8 +93,13 @@ changes, captures without a sidecar keep the column as NULL.  The rendered
 rendered page's resolved resource keys -- the reference's
 ``add_rendered_features`` external-resource merge (nodes.py:87-109), so F28
 urls_in_rendered_page / J6 resource joins fire on rendered-only URLs.
-Multi-page pageref splitting stays unimplemented (the engine's W5
-pages-root fill covers the in-tree effect).
+Multi-page captures: each span carries its entry's ``pageref`` and the
+capture row carries the reference's ``pages_root`` resolution
+(har2tree.py:185-193 pages_start_times + 618-645 two-pass root pick,
+including the missed-page fallback that assigns the page to the first
+pageref-less node) plus the precomputed prior-page anchors of the orphan
+ladder's pages arms (har2tree.py:800-855) -- all as aligned nullable
+array columns, consumed by ``operators/pages.attach_pages``.
 """
 
 from __future__ import annotations
@@ -111,7 +116,7 @@ from har2tree_spark.operators.soup import (
     _parse_markup_events,
 )
 from har2tree_spark.schema import DOCUMENTS_SCHEMA
-from har2tree_spark.sources.urlkit import rebuild_url
+from har2tree_spark.sources.urlkit import canonicalize_rendered_url, rebuild_url
 
 # key_num in [1, 10^15-1]: matches parse.KEY_TOKEN_RE (<=15 digits, no
 # leading zeros) and stays < 2^53 so the key<->float64 round trip is exact.
@@ -319,6 +324,51 @@ def _resource_tokens(body: str, base_url: str, universe: set[str], own: str) -> 
     return out
 
 
+# tags whose URLs the reference processes as links (<a>/<area> href) or as
+# external resources, and therefore SKIPS in the everything-else attr scan
+# (nodes.py:688-691)
+_RENDERED_RESOURCE_TAGS = frozenset(
+    {"a", "area", "img", "script", "video", "audio", "iframe", "embed",
+     "source", "link", "object"}
+)
+
+
+def rendered_page_urls(html: str, base_url: str) -> list[str]:
+    """F28 ``urls_in_rendered_page`` (reference nodes.py:661-701): every
+    <a>/<area> href plus any http-prefixed attribute value on a
+    non-resource tag, sanitized/canonicalized (urlkit.
+    canonicalize_rendered_url), deduped, SORTED -- the "where could this
+    page go next" surface a Lookyloo consumer reads first.  Total: parser
+    errors keep what was collected."""
+    from html.parser import HTMLParser  # noqa: PLC0415
+
+    candidates: list[str] = []
+
+    class _Collect(HTMLParser):
+        def handle_starttag(self, tag, attrs):  # noqa: ANN001
+            if tag in ("a", "area"):
+                for name, val in attrs:
+                    if name == "href" and val:
+                        candidates.append(val)
+            elif tag not in _RENDERED_RESOURCE_TAGS:
+                candidates.extend(
+                    val
+                    for _, val in attrs
+                    if isinstance(val, str) and val.startswith("http")
+                )
+
+    try:
+        c = _Collect(convert_charrefs=True)
+        c.feed(html)
+        c.close()
+    except Exception:  # noqa: BLE001 -- keep-partial, never-throws
+        pass
+    urls = {
+        u for cand in candidates if (u := canonicalize_rendered_url(cand, base_url))
+    }
+    return sorted(urls)
+
+
 def _dict(v) -> dict:
     """Tolerant sub-object access: a malformed scalar where the HAR spec
     says object reads as empty (the engine's quarantine-grade totality --
@@ -433,6 +483,112 @@ def _rendered_span_idx(
     return cur
 
 
+def _pages_layout(
+    entries: list[dict],
+    urls: list[str],
+    statuses: list[int],
+    pages: list,
+) -> tuple[list, list, list, list, int | None]:
+    """The reference's multi-page bookkeeping, per document.
+
+    Returns (span_pagerefs, page_ids, pages_root_idx, page_before_root_idx,
+    page_default_anchor_idx):
+
+      * span_pagerefs[i]      -- entry i's pageref (nodes.py:227-228), after
+                                 the missed-page fallback mutation that
+                                 assigns a rootless page to the first
+                                 pageref-less node (har2tree.py:640-643)
+      * page_ids              -- page ids in HAR order
+      * pages_root_idx[p]     -- the page's root span (har2tree.py:618-645:
+                                 pass 1 matches entry startedDateTime
+                                 against pages_start_times + pageref; pass 2
+                                 fills misses with the first node carrying
+                                 the pageref); None when no node ever
+                                 matches
+      * page_before_root_idx[p] -- the orphan ladder's prior-page anchor for
+                                 a span of page p (har2tree.py:830-841:
+                                 last page BEFORE p that has a root, else
+                                 the first page); None -> attach to tree
+                                 root (the reference's IndexError arm)
+      * page_default_anchor_idx -- the same anchor for a span with NO
+                                 pageref (the reference's loop never
+                                 breaks: the last rooted page wins)
+
+    'Ignored' entries (empty URL, or status<=0 with a valid same-URL twin
+    -- the reference's ignore list, har2tree.py:575-603 = the engine's
+    P1/P2) never become page roots, exactly like the reference's node
+    list."""
+    page_dicts = [p for p in pages if isinstance(p, dict) and p.get("id") is not None]
+    page_ids = [str(p["id"]) for p in page_dicts]
+    pagerefs: list = [
+        str(e["pageref"]) if isinstance(e, dict) and e.get("pageref") is not None else None
+        for e in entries
+    ]
+    if not page_ids:
+        return pagerefs, [], [], [], None
+
+    valid_urls = {u for u, s in zip(urls, statuses) if u and s > 0}
+    live = [
+        i
+        for i in range(len(entries))
+        if urls[i] and not (statuses[i] <= 0 and urls[i] in valid_urls)
+    ]
+
+    # pages_start_times (har2tree.py:185-193): page start -> [pages...],
+    # plus the first entry's start time mapping to the first page
+    pst: dict[str, list[dict]] = {}
+    for p in page_dicts:
+        pst.setdefault(str(p.get("startedDateTime", "")), []).append(p)
+    if entries:
+        initial_st = str(_dict(entries[0]).get("startedDateTime", "-") or "-")
+        pst.setdefault(initial_st, []).append(page_dicts[0])
+
+    # pass 1 (618-622): entry start time in pages_start_times + matching
+    # pageref -> page root (unconditional assignment, reference order)
+    pages_root: dict[str, int] = {}
+    for i in live:
+        st = str(_dict(entries[i]).get("startedDateTime", "") or "")
+        for page in pst.get(st, ()):
+            if pagerefs[i] is not None and str(page["id"]) == pagerefs[i]:
+                pages_root[pagerefs[i]] = i
+                break
+    # pass 2 (635-645): fill missed pages with the first node carrying the
+    # pageref, assigning the pageref to pageref-less nodes along the way
+    for plist in pst.values():
+        for page in plist:
+            pid = str(page["id"])
+            if pid in pages_root:
+                continue
+            for i in live:
+                if pagerefs[i] is None:
+                    pagerefs[i] = pid
+                if pagerefs[i] == pid:
+                    pages_root[pid] = i
+                    break
+
+    def page_before_anchor(target: str | None) -> int | None:
+        # har2tree.py:830-841: walk pages[1:] up to the target page,
+        # remembering the last one that has a root; missing root -> None
+        # (the reference's attach-to-tree-root arm)
+        before = page_ids[0]
+        for pid in page_ids[1:]:
+            if target is not None and pid == target:
+                break
+            if pid in pages_root:
+                before = pid
+        return pages_root.get(before)
+
+    pages_root_idx = [pages_root.get(pid) for pid in page_ids]
+    page_before_root_idx = [page_before_anchor(pid) for pid in page_ids]
+    return (
+        pagerefs,
+        page_ids,
+        pages_root_idx,
+        page_before_root_idx,
+        page_before_anchor(None),
+    )
+
+
 def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
     """One parsed HAR dict (+ optional sidecar file contents) -> one
     documents-table row.  With ``sidecars`` (a role->bytes/str dict from
@@ -448,6 +604,7 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
     spans = []
     urls: list[str] = []  # per-entry normalized URL ('' for empty entries)
     redirect_targets: list[str] = []  # per-entry resolved redirect URL or ''
+    statuses: list[int] = []  # per-entry response status (0 for empty/bad)
     for i, e in enumerate(entries):
         raw_url = str(_dict(e.get("request")).get("url", "") or "")
         if not raw_url:
@@ -456,6 +613,7 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
             spans.append({"kind": "text", "text": "", "media_ref": "", "offset": i * 10})
             urls.append("")
             redirect_targets.append("")
+            statuses.append(0)
             continue
         url = _norm(raw_url)
         urls.append(url)
@@ -464,6 +622,7 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
             status = int(_dict(e.get("response")).get("status", 0) or 0)
         except (ValueError, TypeError):
             status = 0  # non-numeric status reads as the invalid-entry arm
+        statuses.append(status)
         redirect = bool(_dict(e.get("response")).get("redirectURL"))
         kind = _kind_of(
             status,
@@ -512,12 +671,19 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
         "final_redirect_key": None,
         "rendered_span_idx": None,
         "rendered_html": None,
+        "rendered_urls": None,
         "initial_cookies": None,
         "downloaded_filename": None,
         "downloaded_hex_sha256": None,
         "downloaded_bytes": None,
         "frames_json": None,
         "n_frames": None,
+        # multi-page bookkeeping (har2tree.py:185-193, 618-645, 800-855)
+        "span_pagerefs": None,
+        "page_ids": None,
+        "pages_root_idx": None,
+        "page_before_root_idx": None,
+        "page_default_anchor_idx": None,
         # HarFile capture metadata (har2tree.py:223-313), sidecar-independent
         "n_entries": len(entries),
         "initial_title": None,
@@ -537,6 +703,16 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
         pages = []
     title = pages[0].get("title") if pages and isinstance(pages[0], dict) else None
     row["initial_title"] = str(title) if title else "!! No title found !!"
+    pagerefs, page_ids, roots_idx, before_idx, default_anchor = _pages_layout(
+        entries, urls, statuses, pages
+    )
+    if entries:
+        row["span_pagerefs"] = pagerefs
+    if page_ids:
+        row["page_ids"] = page_ids
+        row["pages_root_idx"] = roots_idx
+        row["page_before_root_idx"] = before_idx
+        row["page_default_anchor_idx"] = default_anchor
     if entries:
         row["initial_start_time"] = str(entries[0].get("startedDateTime", "-") or "-")
         # root_url (250-253: first URL, stripped) and the first entry's
@@ -627,6 +803,12 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
     if (html := sidecars.get("html")) is not None:
         text = _as_text(html)
         row["rendered_html"] = text
+        # F28 urls_in_rendered_page (nodes.py:661-701): ALL sanitized
+        # rendered URLs, sorted -- computed against the rendered node's URL
+        # (the reference's self.name); a rendered node with no URL (empty
+        # entry) leaves the column NULL like the reference's Har2TreeError
+        if ridx is not None and urls[ridx]:
+            row["rendered_urls"] = rendered_page_urls(text, urls[ridx])
         if ridx is not None and spans[ridx]["text"] and _body_text(entries[ridx]):
             base = urls[ridx]
             have = set(spans[ridx]["text"].split(" "))
@@ -784,12 +966,20 @@ def captures_schema():
             T.StructField("final_redirect_key", T.StringType(), True),
             T.StructField("rendered_span_idx", T.IntegerType(), True),
             T.StructField("rendered_html", T.StringType(), True),
+            T.StructField("rendered_urls", T.ArrayType(T.StringType()), True),
             T.StructField("initial_cookies", T.ArrayType(T.StringType()), True),
             T.StructField("downloaded_filename", T.StringType(), True),
             T.StructField("downloaded_hex_sha256", T.StringType(), True),
             T.StructField("downloaded_bytes", T.LongType(), True),
             T.StructField("frames_json", T.StringType(), True),
             T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("span_pagerefs", T.ArrayType(T.StringType(), True), True),
+            T.StructField("page_ids", T.ArrayType(T.StringType()), True),
+            T.StructField("pages_root_idx", T.ArrayType(T.IntegerType(), True), True),
+            T.StructField(
+                "page_before_root_idx", T.ArrayType(T.IntegerType(), True), True
+            ),
+            T.StructField("page_default_anchor_idx", T.IntegerType(), True),
             T.StructField("n_entries", T.IntegerType(), True),
             T.StructField("initial_title", T.StringType(), True),
             T.StructField("initial_start_time", T.StringType(), True),

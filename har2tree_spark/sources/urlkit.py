@@ -29,7 +29,16 @@ import binascii
 import os
 import re
 from collections.abc import Collection
-from urllib.parse import unquote_plus, urljoin, urlparse
+from urllib.parse import (
+    parse_qsl,
+    quote,
+    unquote_plus,
+    urlencode,
+    urljoin,
+    urlparse,
+    urlsplit,
+    urlunsplit,
+)
 
 _HTTP_SCHEME_RE = re.compile(r"^https?://")
 _DATA_RE = re.compile("data:", re.I)
@@ -118,6 +127,50 @@ def rebuild_url(base_url: str, partial: str, known_urls: Collection[str]) -> str
             pass
 
     return final_url
+
+
+# HTML5 "space characters" (the whitespace strip_html5_whitespace removes)
+_HTML5_WS = " \t\n\r\x0c"
+# path/fragment percent-quoting: keep every RFC-3986 pchar + '%' (already-
+# encoded sequences pass through untouched -- no unquote/requote round trip,
+# so no semantics-changing %2F decode)
+_PATH_SAFE = "/;:@&=+$,%~*'()[]!-_."
+
+
+def canonicalize_rendered_url(maybe_url: str, base_url: str) -> str | None:
+    """The F28 sanitize pipeline (reference nodes.py:663-674 ``_sanitize``):
+    strip HTML5 whitespace, resolve against the rendered node's URL, keep
+    fragments, require a netloc; canonical form = lowercase scheme/netloc,
+    default port stripped, percent-encoded path (encode-only: existing
+    escapes are preserved, never decoded), query pairs SORTED and
+    re-encoded with %XX escapes (blank values kept).
+
+    The reference delegates to w3lib's safe_url_string + canonicalize_url;
+    that library is deliberately not a dependency here, so this is a
+    documented deterministic subset with the same observable behavior on
+    the reference's own golden list (tests/simple_test.py:186-199: sorted
+    query args, %3A%2F%2F-escaped embedded URLs, fragments kept).  Returns
+    None for anything without a network location."""
+    href = maybe_url.strip(_HTML5_WS)
+    try:
+        href = urljoin(base_url, href)
+        parts = urlsplit(href)
+    except ValueError:
+        return None
+    if not parts.netloc:
+        return None
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    if (scheme == "http" and netloc.endswith(":80")) or (
+        scheme == "https" and netloc.endswith(":443")
+    ):
+        netloc = netloc.rsplit(":", 1)[0]
+    path = quote(parts.path, safe=_PATH_SAFE) or "/"
+    query = urlencode(
+        sorted(parse_qsl(parts.query, keep_blank_values=True)), quote_via=quote
+    )
+    fragment = quote(parts.fragment, safe=_PATH_SAFE)
+    return urlunsplit((scheme, netloc, path, query, fragment))
 
 
 def parse_data_uri(uri: str) -> tuple[str, str, bytes] | None:

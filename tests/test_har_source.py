@@ -777,3 +777,40 @@ def test_walk_frames_depth_cap():
     out = _walk_frames(frames, 0, {0: "k1"}, {})
     # every URL-less frame attaches to the rendered node; the cap bounds it
     assert sum(len(v) for v in out.values()) == 64
+
+
+def test_rendered_urls_column(spark, tmp_path):
+    """F28 urls_in_rendered_page as a first-class capture column: ALL
+    sanitized rendered URLs, sorted (reference nodes.py:661-701) — not just
+    the universe-resolving keys the span merge keeps."""
+    a = "https://rp.example/"
+    har = {"log": {"entries": [
+        _mk_entry(a, body="<p>x</p>", started="2024-01-01T00:00:00"),
+    ]}}
+    html = (
+        '<html><body>'
+        '<a href="https://z.example/b?b=2&a=1">z</a>'
+        '<area href="/rel#frag">'
+        '<a href="https://z.example/b?b=2&a=1">dup</a>'
+        '<a href="mailto:no@where.example">m</a>'
+        # non-resource tag with an http attr -> collected
+        '<div data-target="http://plain.example/p">d</div>'
+        # resource tags are NOT part of this surface
+        '<img src="https://img.example/i.png">'
+        '<script src="https://js.example/s.js"></script>'
+        "</body></html>"
+    )
+    root = tmp_path / "rp"
+    root.mkdir()
+    import json as _json
+
+    (root / "rp.har").write_text(_json.dumps(har))
+    (root / "rp.html").write_text(html)
+    row = har_source.read_har_captures(spark, str(root)).toPandas().iloc[0]
+    assert list(row["rendered_urls"]) == [
+        "http://plain.example/p",
+        "https://rp.example/rel#frag",
+        "https://z.example/b?a=1&b=2",
+    ]
+    # pure-function form matches
+    assert har_source.rendered_page_urls(html, a) == list(row["rendered_urls"])

@@ -1,0 +1,177 @@
+"""Multi-page pageref splitting (sources/har_source._pages_layout +
+operators/pages.attach_pages): the reference's pages_root bookkeeping
+(har2tree.py:185-193, 618-645) and the orphan ladder's pages arms
+(har2tree.py:800-855) on real multi-page captures.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from har2tree_spark.operators.cascade import resolve_exact
+from har2tree_spark.operators.pages import attach_pages
+from har2tree_spark.operators.parse import parse_documents
+from har2tree_spark.sources import har_source
+
+
+def _entry(url, started, pageref=None, status=200, mime="text/html",
+           body="", redirect="", referer=""):
+    e = {
+        "startedDateTime": started,
+        "request": {"url": url, "headers": []},
+        "response": {
+            "status": status,
+            "redirectURL": redirect,
+            "content": {"mimeType": mime, "text": body},
+        },
+    }
+    if pageref is not None:
+        e["pageref"] = pageref
+    if referer:
+        e["request"]["headers"].append({"name": "Referer", "value": referer})
+    return e
+
+
+def test_pages_layout_two_pass_and_anchors():
+    """Pass 1 (startedDateTime + pageref match), pass 2 (missed page ->
+    first pageref-less node, mutated), prior-page anchors."""
+    a, b, c = "https://s.example/", "https://s.example/p2", "https://s.example/x"
+    entries = [
+        _entry(a, "T0", pageref="page_1"),
+        _entry(c, "T1"),               # no pageref
+        _entry(b, "T2", pageref="page_2"),
+    ]
+    urls = [har_source._norm(e["request"]["url"]) for e in entries]
+    pages = [
+        {"id": "page_1", "startedDateTime": "T0"},
+        {"id": "page_2", "startedDateTime": "T2"},
+        {"id": "page_3", "startedDateTime": "T9"},  # matches no entry
+    ]
+    pagerefs, pids, roots, before, default = har_source._pages_layout(
+        entries, urls, [200, 200, 200], pages
+    )
+    assert pids == ["page_1", "page_2", "page_3"]
+    # pass 1 roots pages 1/2; pass 2 assigns page_3 to the first
+    # pageref-less node (entry 1) and mutates its pageref
+    assert roots == [0, 2, 1]
+    assert pagerefs == ["page_1", "page_3", "page_2"]
+    # prior-page anchors (the reference's loop semantics, 830-841):
+    # page_2 -> break immediately, keep page_1's root; page_3 -> page_2's
+    # root; page_1 NEVER matches in pages[1:] so the loop runs out and the
+    # LAST rooted page wins (page_3 -> entry 1) -- the reference's literal
+    # behavior for a first-page orphan
+    assert before == [1, 0, 2]
+    # no-pageref default: last rooted page overall (page_3 -> entry 1)
+    assert default == 1
+
+
+def test_pages_layout_ignored_entries_never_root():
+    a = "https://s.example/"
+    entries = [
+        _entry(a, "T0", pageref="page_1", status=0),  # 0-status twin
+        _entry(a, "T0", pageref="page_1"),            # the valid twin
+    ]
+    urls = [har_source._norm(e["request"]["url"]) for e in entries]
+    pages = [{"id": "page_1", "startedDateTime": "T0"}]
+    _, _, roots, _, _ = har_source._pages_layout(entries, urls, [0, 200], pages)
+    # the ignored 0-status entry is skipped; the valid twin roots the page
+    assert roots == [1]
+
+
+@pytest.fixture(scope="module")
+def multipage_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("multipage")
+    a = "https://mp.example/"
+    a2 = "https://mp.example/style.css"
+    b = "https://mp.example/second"
+    c = "https://mp.example/second/orphan.png"
+    har = {"log": {
+        "pages": [
+            {"id": "page_1", "startedDateTime": "2024-01-01T00:00:00"},
+            {"id": "page_2", "startedDateTime": "2024-01-01T00:00:02"},
+        ],
+        "entries": [
+            _entry(a, "2024-01-01T00:00:00", pageref="page_1",
+                   body='<html><link href="style.css"></html>'),
+            _entry(a2, "2024-01-01T00:00:01", pageref="page_1", mime="text/css"),
+            # second page root: no redirect/referer/initiator -> orphan
+            _entry(b, "2024-01-01T00:00:02", pageref="page_2", body="<p>2</p>"),
+            # second-page resource, also relationally orphaned (nothing
+            # references it, it references nothing)
+            _entry(c, "2024-01-01T00:00:03", pageref="page_2", mime="image/png"),
+        ],
+    }}
+    (root / "mp.har").write_text(json.dumps(har))
+    return str(root), (a, a2, b, c)
+
+
+def test_second_page_attaches_via_pages_ladder(spark, multipage_dir):
+    root, (a, a2, b, c) = multipage_dir
+    caps = har_source.read_har_captures(spark, root).cache()
+    row = caps.toPandas().iloc[0]
+    assert list(row["page_ids"]) == ["page_1", "page_2"]
+    assert list(row["pages_root_idx"]) == [0, 2]
+    assert list(row["span_pagerefs"]) == ["page_1", "page_1", "page_2", "page_2"]
+
+    feats = parse_documents(caps.select("doc_id", "spans"))
+    tree = resolve_exact(feats)
+    before = {r["span_idx"]: r["join_kind"] for r in tree.collect()}
+    # without the pages ladder both second-page spans are generic orphans
+    assert before[2] == "fallback_root" and before[3] == "fallback_root"
+
+    after = {r["span_idx"]: r for r in attach_pages(tree, caps).collect()}
+    # the second-page ROOT anchors to the prior page's root (arm C,
+    # har2tree.py:829-851) -- the pages path, not generic fallback
+    assert after[2]["join_kind"] == "page_before"
+    assert after[2]["parent_idx"] == 0
+    # the second-page resource attaches to ITS page root (arm A,
+    # har2tree.py:800-816)
+    assert after[3]["join_kind"] == "page"
+    assert after[3]["parent_idx"] == 2
+    # resolved rows are untouched
+    assert after[0]["join_kind"] == "root"
+    assert after[1]["join_kind"] == "resource"
+
+
+def test_rendered_arm_without_pages(spark, tmp_path):
+    """Arm B: an orphan in a pages-less capture attaches to the rendered
+    node when it differs from the tree root (har2tree.py:817-828)."""
+    a = "https://r.example/"
+    land = "https://r.example/landing"
+    orphan = "https://r.example/stray.png"
+    har = {"log": {"entries": [
+        _entry(a, "2024-01-01T00:00:00", status=302, redirect="/landing"),
+        _entry(land, "2024-01-01T00:00:01", body="<p>land</p>"),
+        _entry(orphan, "2024-01-01T00:00:02", mime="image/png"),
+    ]}}
+    root = tmp_path / "rend"
+    root.mkdir()
+    (root / "r.har").write_text(json.dumps(har))
+    (root / "r.last_redirect.txt").write_text(land)
+    caps = har_source.read_har_captures(spark, str(root)).cache()
+    feats = parse_documents(caps.select("doc_id", "spans"))
+    after = {
+        r["span_idx"]: r for r in attach_pages(resolve_exact(feats), caps).collect()
+    }
+    assert after[2]["join_kind"] == "page_rendered"
+    assert after[2]["parent_idx"] == 1
+    # the redirect edge itself is untouched
+    assert after[1]["join_kind"] == "redirect"
+
+
+def test_attach_pages_plan_no_python(spark, multipage_dir):
+    """attach_pages is pure JVM column logic over the captures dimension:
+    no Python stage beyond the ingest reader itself."""
+    root, _ = multipage_dir
+    caps = har_source.read_har_captures(spark, root)
+    feats = parse_documents(caps.select("doc_id", "spans"))
+    plan = attach_pages(resolve_exact(feats), caps)._jdf.queryExecution().executedPlan().toString()
+    # every Python stage in the plan is the ingest reader's Arrow closure
+    # (replicated per DAG branch when uncached); the attach itself adds no
+    # Python and no row-at-a-time UDF ever appears
+    assert "BatchEvalPython" not in plan
+    import re
+
+    python_stages = re.findall(r"\w*InPandas\w*", plan)
+    assert set(python_stages) <= {"FlatMapGroupsInPandas", "MapInPandas"}

@@ -132,3 +132,51 @@ def test_parse_data_uri_arms():
     assert parse_data_uri("data:text/plain;base64,@@@") is None
     assert parse_data_uri("data:text/plain;base64") is None
     assert parse_data_uri("http://x") is None
+
+
+# --- F28 canonicalizer (reference nodes.py:663-674 _sanitize pipeline) ---
+
+from har2tree_spark.sources.urlkit import canonicalize_rendered_url  # noqa: E402
+
+BASE_R = "https://consent.youtube.com/ml?x=1"
+
+
+def test_canonicalize_sorts_query_and_encodes_embedded_urls():
+    # the reference's golden list shape (simple_test.py:186-199): query
+    # args sorted, an embedded URL value %XX-escaped, fragments kept
+    got = canonicalize_rendered_url(
+        "https://consent.youtube.com/d?uxe=23983172&gl=FR&hl=en"
+        "&continue=https%3A%2F%2Fwww.youtube.com%2Fwatch%3Fv%3DiwGFalTRHDA",
+        BASE_R,
+    )
+    assert got == (
+        "https://consent.youtube.com/d"
+        "?continue=https%3A%2F%2Fwww.youtube.com%2Fwatch%3Fv%3DiwGFalTRHDA"
+        "&gl=FR&hl=en&uxe=23983172"
+    )
+
+
+def test_canonicalize_whitespace_join_netloc_fragment():
+    # HTML5 whitespace stripped, relative href joined against the rendered
+    # node's URL, fragment kept
+    assert (
+        canonicalize_rendered_url(" \n\t/privacy?hl=en#top \x0c", BASE_R)
+        == "https://consent.youtube.com/privacy?hl=en#top"
+    )
+    # no netloc -> None (mailto, javascript, bare fragments resolve to base)
+    assert canonicalize_rendered_url("mailto:x@y.example", BASE_R) is None
+    # default port stripped, scheme/host lowercased, empty path -> '/'
+    assert (
+        canonicalize_rendered_url("HTTPS://Example.COM:443", BASE_R)
+        == "https://example.com/"
+    )
+    # existing escapes pass through un-decoded (no %2F round trip)
+    assert (
+        canonicalize_rendered_url("https://a.example/p%2Fq", BASE_R)
+        == "https://a.example/p%2Fq"
+    )
+    # blank query values survive
+    assert (
+        canonicalize_rendered_url("https://a.example/p?b=&a=1", BASE_R)
+        == "https://a.example/p?a=1&b="
+    )
