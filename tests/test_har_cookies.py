@@ -204,3 +204,52 @@ def test_lalibre_cookie_literals(spark):
 # per-capture distinct received triples, provenance links) — from the
 # independent pure-Python count over tests/data/lalibre
 PINNED_LALIBRE = (3, 511, 1079, 5482)
+
+
+def test_cookie_ops_duckdb_cross_check(spark, tmp_path):
+    """Value-exact DuckDB cross-check of the relational cookie operators on
+    the REAL lalibre corpus: the flat cookie table round-trips through
+    parquet, and provenance + host rollup + capture totals are recomputed
+    in DuckDB SQL and compared row-for-row."""
+    import duckdb
+
+    ck = har_cookies.read_har_cookies(spark, f"{REF_DATA}/lalibre")
+    pq = str(tmp_path / "cookies.parquet")
+    ck.coalesce(1).write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ck AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def sql(q):
+        return sorted(tuple(r) for r in con.execute(q).fetchall())
+
+    prov = har_cookies.cookie_provenance(spark.read.parquet(pq))
+    assert rows(prov) == sql("""
+        SELECT s.doc_id, s.span_idx, s.cookie, r.span_idx, r.domain, r.is_3rd_party
+        FROM (SELECT * FROM ck WHERE direction = 'sent') s
+        JOIN (SELECT * FROM ck WHERE direction = 'received') r
+          ON s.doc_id = r.doc_id AND s.cookie = r.cookie
+        WHERE ends_with(s.hostname, r.domain) AND r.span_idx < s.span_idx
+    """)
+
+    roll = har_cookies.host_cookie_rollup(spark.read.parquet(pq))
+    assert rows(roll) == sql("""
+        SELECT doc_id, hostname,
+               count(DISTINCT CASE WHEN direction = 'sent' THEN cookie END),
+               count(DISTINCT CASE WHEN direction = 'received'
+                     THEN concat_ws(' ', domain, cookie, CAST(is_3rd_party AS VARCHAR)) END),
+               count(DISTINCT CASE WHEN direction = 'received' AND is_3rd_party
+                     THEN concat_ws(' ', domain, cookie, CAST(is_3rd_party AS VARCHAR)) END)
+        FROM ck GROUP BY doc_id, hostname
+    """)
+
+    totals = har_cookies.capture_cookie_totals(spark.read.parquet(pq))
+    assert rows(totals) == sql("""
+        SELECT doc_id,
+               count(DISTINCT CASE WHEN direction = 'sent' THEN cookie END),
+               count(DISTINCT CASE WHEN direction = 'received'
+                     THEN concat_ws(' ', domain, cookie, CAST(is_3rd_party AS VARCHAR)) END)
+        FROM ck GROUP BY doc_id
+    """)
