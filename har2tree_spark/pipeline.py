@@ -72,3 +72,76 @@ def run_and_measure(
         "wall_s": wall,
         "docs_per_sec": n_stats / wall if wall > 0 else 0.0,
     }
+
+
+def capture_report(spark: SparkSession, path: str) -> DataFrame:
+    """One row per REAL capture: the reference's per-tree summary — the
+    ``stats`` property (reference har2tree.py:505-528) plus the HarFile
+    metadata a Lookyloo consumer reads first — assembled from the capture
+    reader, the exact cascade + pages ladder, the depth/chain stats and
+    the cookie totals, in engine terms:
+
+      total_urls            -> live spans in the tree (stats total_urls)
+      total_unique_urls     -> distinct keys
+      n_unique_hostnames    -> distinct hostnames (total_unique_hostnames)
+      tree_depth            -> max depth + 1 (same convention)
+      total_redirects       -> redirect-edge chain length (redirects list)
+      total_cookies_sent/   -> capture-wide distinct sent cookies /
+        received               received (domain, cookie, 3rd) triples
+      total_bytes           -> span-text bytes (total_size_responses'
+                               re-grounded analogue: the engine carries
+                               token surfaces, not raw bodies)
+
+    plus doc_id, n_entries, initial_title, root_url_key, root_user_agent,
+    final_redirect_url, rendered_span_idx, n_rendered_urls.  Every join is
+    doc_id-keyed (the pipeline's standard co-partitioning); the cookie
+    scan is a second pass over the same listing."""
+    from har2tree_spark.operators import pages  # noqa: PLC0415
+    from har2tree_spark.sources import har_cookies, har_source  # noqa: PLC0415
+
+    caps = har_source.read_har_captures(spark, path)
+    features = parse.parse_documents(caps.select("doc_id", "spans"))
+    tree = pages.attach_pages(cascade.resolve_exact(features), caps)
+    ds = stats.doc_stats(features, tree)
+    chains = stats.redirect_chains(features, tree).select(
+        "doc_id", F.col("chain_len").alias("total_redirects")
+    )
+    totals = har_cookies.capture_cookie_totals(
+        har_cookies.read_har_cookies(spark, path)
+    )
+    meta = caps.select(
+        "doc_id",
+        "n_entries",
+        "n_unique_hostnames",
+        "initial_title",
+        "root_url_key",
+        "root_user_agent",
+        "final_redirect_url",
+        "rendered_span_idx",
+        F.coalesce(F.size("rendered_urls"), F.lit(0)).alias("n_rendered_urls"),
+    )
+    return (
+        meta.join(ds, "doc_id", "left")
+        .join(chains, "doc_id", "left")
+        .join(totals, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_entries",
+            F.col("total_spans").alias("total_urls"),
+            F.col("unique_keys").alias("total_unique_urls"),
+            "n_unique_hostnames",
+            "tree_depth",
+            F.coalesce("total_redirects", F.lit(0)).alias("total_redirects"),
+            F.coalesce("total_cookies_sent", F.lit(0)).alias("total_cookies_sent"),
+            F.coalesce("total_cookies_received", F.lit(0)).alias(
+                "total_cookies_received"
+            ),
+            "total_bytes",
+            "initial_title",
+            "root_url_key",
+            "root_user_agent",
+            "final_redirect_url",
+            "rendered_span_idx",
+            "n_rendered_urls",
+        )
+    )

@@ -38,8 +38,6 @@ order, exactly like the reference's stable sort.
 
 from __future__ import annotations
 
-from urllib.parse import urlparse
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,18 +49,7 @@ from har2tree_spark.sources.har_source import (
     _norm,
     _sorted_entries,
 )
-
-
-def _hostname(url: str) -> str:
-    """The reference's URLNode hostname (nodes.py:186-212): urlparse
-    hostname with the blob: unwrap arm; '' when absent."""
-    try:
-        parsed = urlparse(url)
-        if parsed.scheme == "blob":
-            parsed = urlparse(parsed.path)
-        return parsed.hostname or ""
-    except ValueError:
-        return ""
+from har2tree_spark.sources.urlkit import url_hostname as _hostname
 
 
 def entry_cookies(entry: dict, hostname: str) -> list[dict]:

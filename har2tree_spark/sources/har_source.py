@@ -116,7 +116,11 @@ from har2tree_spark.operators.soup import (
     _parse_markup_events,
 )
 from har2tree_spark.schema import DOCUMENTS_SCHEMA
-from har2tree_spark.sources.urlkit import canonicalize_rendered_url, rebuild_url
+from har2tree_spark.sources.urlkit import (
+    canonicalize_rendered_url,
+    rebuild_url,
+    url_hostname,
+)
 
 # key_num in [1, 10^15-1]: matches parse.KEY_TOKEN_RE (<=15 digits, no
 # leading zeros) and stays < 2^53 so the key<->float64 round trip is exact.
@@ -686,6 +690,11 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
         "page_default_anchor_idx": None,
         # HarFile capture metadata (har2tree.py:223-313), sidecar-independent
         "n_entries": len(entries),
+        # total_unique_hostnames analogue (har2tree.py:520): distinct
+        # hostnames across the capture's live URLs
+        "n_unique_hostnames": len(
+            {h for u in urls if u and (h := url_hostname(u))}
+        ),
         "initial_title": None,
         "initial_start_time": "-",
         "root_url_key": None,
@@ -981,6 +990,7 @@ def captures_schema():
             ),
             T.StructField("page_default_anchor_idx", T.IntegerType(), True),
             T.StructField("n_entries", T.IntegerType(), True),
+            T.StructField("n_unique_hostnames", T.IntegerType(), True),
             T.StructField("initial_title", T.StringType(), True),
             T.StructField("initial_start_time", T.StringType(), True),
             T.StructField("root_url_key", T.StringType(), True),

@@ -129,6 +129,18 @@ def rebuild_url(base_url: str, partial: str, known_urls: Collection[str]) -> str
     return final_url
 
 
+def url_hostname(url: str) -> str:
+    """The reference's URLNode hostname (nodes.py:186-212): urlparse
+    hostname with the blob: unwrap arm; '' when absent."""
+    try:
+        parsed = urlparse(url)
+        if parsed.scheme == "blob":
+            parsed = urlparse(parsed.path)
+        return parsed.hostname or ""
+    except ValueError:
+        return ""
+
+
 # HTML5 "space characters" (the whitespace strip_html5_whitespace removes)
 _HTML5_WS = " \t\n\r\x0c"
 # path/fragment percent-quoting: keep every RFC-3986 pchar + '%' (already-

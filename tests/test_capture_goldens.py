@@ -259,3 +259,29 @@ def test_lonely_har_no_sidecars(built):
     assert cap["rendered_html"] is None
     assert cap["rendered_urls"] is None
     assert cap["n_entries"] == 1
+
+
+def test_capture_report_golden(spark, scenarios_dir):
+    """The one-call per-capture summary (pipeline.capture_report) matches
+    the hand-computed scenario goldens — the reference's stats-dict
+    analogue assembled end-to-end."""
+    from har2tree_spark.pipeline import capture_report
+
+    rep = capture_report(spark, scenarios_dir).toPandas().set_index("doc_id")
+    hr = rep.loc["http_redirect"]
+    assert hr["n_entries"] == 7
+    assert hr["total_urls"] == 7
+    assert hr["total_unique_urls"] == 7
+    # start/mid/consent/cdn = 4 distinct hostnames
+    assert hr["n_unique_hostnames"] == 4
+    assert hr["tree_depth"] == 6
+    assert hr["total_redirects"] == 4
+    assert hr["total_cookies_sent"] == 1
+    assert hr["total_cookies_received"] == 1
+    assert hr["root_user_agent"] == UA_BING
+    assert hr["final_redirect_url"] == LAND
+    assert hr["rendered_span_idx"] == 4
+    lone = rep.loc["lonely"]
+    assert lone["total_redirects"] == 0
+    assert lone["total_cookies_sent"] == 0
+    assert lone["final_redirect_url"] is None
