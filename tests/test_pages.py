@@ -175,3 +175,125 @@ def test_attach_pages_plan_no_python(spark, multipage_dir):
 
     python_stages = re.findall(r"\w*InPandas\w*", plan)
     assert set(python_stages) <= {"FlatMapGroupsInPandas", "MapInPandas"}
+
+
+def test_attach_pages_duckdb_cross_check(spark, tmp_path):
+    """Value-exact DuckDB replay of the pages ladder over a randomized
+    multi-page corpus: the tree and the captures dimension round-trip
+    through parquet and the arm A/B/C re-parenting is recomputed in SQL
+    (list_extract/list_position over the same aligned arrays), compared
+    row-for-row."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(1337)
+    root = tmp_path / "rand_caps"
+    root.mkdir()
+    for d in range(40):
+        n_pages = rng.randint(0, 4)
+        n_entries = rng.randint(3, 12)
+        pages = [
+            {"id": f"page_{p+1}",
+             "startedDateTime": f"2024-01-01T00:00:{rng.randint(0, n_entries-1):02d}"}
+            for p in range(n_pages)
+        ]
+        entries = []
+        for i in range(n_entries):
+            url = f"https://h{rng.randint(0, 3)}.example/p{i}"
+            e = _entry(
+                url,
+                f"2024-01-01T00:00:{i:02d}",
+                pageref=(f"page_{rng.randint(1, n_pages)}"
+                         if n_pages and rng.random() < 0.7 else None),
+                status=0 if rng.random() < 0.15 else 200,
+                referer=(f"https://h0.example/p{rng.randint(0, i-1)}"
+                         if i and rng.random() < 0.4 else ""),
+            )
+            entries.append(e)
+        har = {"log": {"pages": pages, "entries": entries}}
+        (root / f"d{d:02d}.har").write_text(json.dumps(har))
+        if rng.random() < 0.5:
+            # a last_redirect sidecar makes rendered_span_idx interesting
+            (root / f"d{d:02d}.last_redirect.txt").write_text(
+                entries[rng.randint(0, n_entries - 1)]["request"]["url"]
+            )
+
+    caps = har_source.read_har_captures(spark, str(root))
+    tree = resolve_exact(parse_documents(caps.select("doc_id", "spans")))
+    got = attach_pages(tree, caps)
+
+    tree_pq, caps_pq, got_pq = (str(tmp_path / n) for n in ("t.pq", "c.pq", "g.pq"))
+    tree.write.mode("overwrite").parquet(tree_pq)
+    caps.drop("spans").write.mode("overwrite").parquet(caps_pq)
+    got.write.mode("overwrite").parquet(got_pq)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW tree AS SELECT * FROM read_parquet('{tree_pq}/*.parquet')")
+    con.execute(f"CREATE VIEW caps AS SELECT * FROM read_parquet('{caps_pq}/*.parquet')")
+    oracle = con.execute("""
+        WITH roots AS (
+          SELECT doc_id, min(span_idx) AS tree_root_idx
+          FROM tree WHERE parent_idx = -1 GROUP BY doc_id
+        ),
+        j AS (
+          SELECT t.doc_id, t.span_idx, t.parent_idx, t.join_kind, t.priority,
+                 t.depth, c.rendered_span_idx, c.span_pagerefs, c.page_ids,
+                 c.pages_root_idx, c.page_before_root_idx,
+                 c.page_default_anchor_idx, r.tree_root_idx
+          FROM tree t
+          LEFT JOIN caps c USING (doc_id)
+          LEFT JOIN roots r USING (doc_id)
+        ),
+        x AS (
+          SELECT *,
+                 list_extract(span_pagerefs, span_idx + 1) AS pr,
+                 list_position(page_ids, list_extract(span_pagerefs, span_idx + 1)) AS pidx
+          FROM j
+        ),
+        y AS (
+          SELECT *,
+                 CASE WHEN pidx IS NOT NULL AND pidx > 0
+                      THEN list_extract(pages_root_idx, pidx) END AS proot,
+                 COALESCE(CASE WHEN pidx IS NOT NULL AND pidx > 0
+                               THEN list_extract(page_before_root_idx, pidx) END,
+                          page_default_anchor_idx) AS bef
+          FROM x
+        ),
+        z AS (
+          SELECT *,
+                 (len(page_ids) > 1 AND pr IS NOT NULL AND proot IS NOT NULL
+                  AND proot != span_idx) AS arm_a,
+                 (rendered_span_idx IS NOT NULL
+                  AND rendered_span_idx != tree_root_idx
+                  AND rendered_span_idx != span_idx) AS arm_b,
+                 (len(page_ids) > 0 AND bef IS NOT NULL AND bef != span_idx) AS arm_c
+          FROM y
+        )
+        SELECT doc_id, span_idx,
+               CASE WHEN hit THEN new_parent ELSE parent_idx END AS parent_idx,
+               CASE WHEN hit THEN new_kind ELSE join_kind END AS join_kind,
+               CASE WHEN hit THEN new_prio ELSE priority END AS priority,
+               CASE WHEN hit THEN NULL ELSE depth END AS depth
+        FROM (
+          SELECT *,
+                 (join_kind = 'fallback_root'
+                  AND (CASE WHEN arm_a THEN proot
+                            WHEN arm_b THEN rendered_span_idx
+                            WHEN arm_c THEN bef END) IS NOT NULL) AS hit,
+                 CASE WHEN arm_a THEN proot
+                      WHEN arm_b THEN rendered_span_idx
+                      WHEN arm_c THEN bef END AS new_parent,
+                 CASE WHEN arm_a THEN 'page'
+                      WHEN arm_b THEN 'page_rendered'
+                      WHEN arm_c THEN 'page_before' END AS new_kind,
+                 CASE WHEN arm_a THEN 10 WHEN arm_b THEN 11
+                      WHEN arm_c THEN 12 END AS new_prio
+          FROM z
+        )
+    """).fetchall()
+    got_rows = sorted(tuple(r) for r in spark.read.parquet(got_pq).collect())
+    assert got_rows == sorted(tuple(r) for r in oracle)
+    # the ladder actually fired somewhere in the random corpus
+    kinds = {r[3] for r in got_rows}
+    assert kinds & {"page", "page_rendered", "page_before"}
