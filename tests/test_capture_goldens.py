@@ -285,3 +285,28 @@ def test_capture_report_golden(spark, scenarios_dir):
     assert lone["total_redirects"] == 0
     assert lone["total_cookies_sent"] == 0
     assert lone["final_redirect_url"] is None
+
+
+def test_capture_report_real_corpus_pin(spark):
+    """Regression pin on REAL input: the largest real capture's report row,
+    recorded literally (components are independently oracled elsewhere —
+    cookies vs DuckDB + pure-Python, cascade vs pycascade; this pin makes
+    any adapter/report drift on real data loud)."""
+    import os
+
+    ref = "/root/reference/tests/data/lalibre"
+    if not os.path.isdir(ref):
+        pytest.skip("reference corpus not present")
+    from har2tree_spark.pipeline import capture_report
+
+    row = (
+        capture_report(spark, ref)
+        .filter(F.col("doc_id") == "001")
+        .collect()[0]
+    )
+    assert (
+        row["n_entries"], row["total_urls"], row["total_unique_urls"],
+        row["n_unique_hostnames"], row["tree_depth"], row["total_redirects"],
+        row["total_cookies_sent"], row["total_cookies_received"],
+        row["rendered_span_idx"],
+    ) == (615, 613, 564, 194, 50, 65, 171, 306, 1)
