@@ -140,14 +140,21 @@ def test_rank_cascade_plan_shape(spark, tmp_path):
             r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
         )
     )
-    # exactly the 5 candidate-stage joins: the root-fallback must be a
-    # union edge resolved in the winners' window, NOT an anti-join that
-    # duplicates the whole candidate subtree as a common subexpression
-    assert joins == 5, f"rank cascade must plan exactly 5 joins, got {joins}"
+    # ONE probe->target join produces all five candidate stages (r8: the
+    # five per-stage joins were restructured into a single equi-join on
+    # (doc_id, pointer)); the root-fallback must be a union edge resolved
+    # in the winners' aggregate, NOT an anti-join that duplicates the
+    # whole candidate subtree as a common subexpression
+    assert joins == 1, f"rank cascade must plan exactly 1 join, got {joins}"
     assert "LeftAnti" not in plan
-    # one exchange for the winners' window + at most one materialization
-    # exchange; the edge-dedup shuffle must stay gone
+    # one exchange for the target-side redirect-prefix window + one for
+    # the winners' min_by aggregate; the edge-dedup shuffle must stay
+    # gone, and the winner pick must be an aggregate that partial-combines
+    # map-side (min_by plans as SortAggregate partial+final — struct
+    # buffers are not HashAggregate-able), not a row_number window over
+    # the full edge fan-out
     assert _n_exchanges(plan) <= 2, plan
+    assert re.search(r"\(\d+\) (?:SortAggregate|ObjectHashAggregate|HashAggregate)", plan), plan
 
 
 def test_lsh_fused_signatures_match_per_table(spark):
