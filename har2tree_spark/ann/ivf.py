@@ -103,15 +103,22 @@ def ivf_topk(
     cents = sampled_centroids(corpus, n_centroids, id_col, vec_col)
     lists = _assign(corpus, cents, 1, "neighbor_id", "nv", id_col, vec_col)
     probes = _assign(queries, cents, nprobe, "query_id", "qv", id_col, vec_col)
+    # score BEFORE the pair-dedup exchange and aggregate instead of
+    # dropDuplicates (guide §2.3): a pair reached via several probed
+    # lists computes the identical score from the identical vectors, so
+    # max() is value-exact while the dedup shuffle moves (id, id, double)
+    # rows instead of two dim-length arrays per row.
+    score = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
     cands = (
         lists.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
     )
-    score = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        cands.withColumn("score", score)
+        cands
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(

@@ -142,15 +142,23 @@ def lsh_cosine_topk(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"),
         F.posexplode(sig(F.col(vec_col))).alias("t", "bucket"),
     )
+    # score BEFORE the pair-dedup exchange and aggregate instead of
+    # dropDuplicates (guide §2.3: project before the exchange): the qv/cv
+    # vectors (~1 KB/row at dim 64) otherwise ride the dedup shuffle and
+    # force a SortAggregate over array columns. A pair found in several
+    # tables computes the identical score from the identical vectors, so
+    # max() is a value-exact stand-in for "keep any one".
+    score = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     cands = (
         cc.join(F.broadcast(cq), ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
     )
-    score = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        cands.withColumn("score", score)
+        cands
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(
@@ -194,14 +202,17 @@ def embedding_neardup_pairs(
         )
     a = s.select("t", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = s.select("t", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = (
-        a.join(b, ["t", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # cosine BEFORE the pair-dedup exchange (guide §2.3): duplicate pairs
+    # from different tables carry identical vectors, hence identical
+    # cosines — max() keeps the value exact while the dedup shuffle moves
+    # (id, id, double) rows instead of two dim-length arrays per row.
     score = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
-        pairs.withColumn("cosine", score)
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", score.alias("cosine"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
         .filter(F.col("cosine") >= tau)
         .select(
             F.col("id_a").cast("long"),

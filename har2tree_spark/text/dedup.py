@@ -248,8 +248,12 @@ def minhash_lsh_pairs(
     return (
         pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
+        # project the signatures away BEFORE the pair-dedup exchange
+        # (guide §2.3): duplicate pairs from different bands carry the
+        # same signatures, hence the same est_jaccard, so the dedup only
+        # needs the 3 output columns — not 2x16 signature longs per row.
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
