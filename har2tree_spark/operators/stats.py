@@ -81,8 +81,19 @@ def compute_depths(
     return cur.select("doc_id", F.col("node").alias("span_idx"), F.col("steps").alias("depth"))
 
 
-def doc_stats(features: DataFrame, join_result: DataFrame) -> DataFrame:
-    """Golden per-doc stats (DOC_STATS_SCHEMA; A4 analogue)."""
+def doc_stats(
+    features: DataFrame,
+    join_result: DataFrame,
+    depth_complete: bool | None = None,
+) -> DataFrame:
+    """Golden per-doc stats (DOC_STATS_SCHEMA; A4 analogue).
+
+    ``depth_complete`` is forwarded to :func:`compute_depths`. Pass False
+    when ``join_result`` carries a partially stale ``depth`` column — e.g.
+    after ``pages.attach_pages``, which re-parents rows and nulls only
+    THEIR depths, leaving descendants' depths stale — so tree_depth is
+    re-derived from the new parent pointers instead of read from the
+    mixed column (r7 ADVICE #1)."""
     f = features.filter(F.col("span_idx").isNotNull() & (F.col("n_live") > 0))
     base = f.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("total_spans"),
@@ -97,7 +108,7 @@ def doc_stats(features: DataFrame, join_result: DataFrame) -> DataFrame:
         .alias("total_chain")
     )
     depths = (
-        compute_depths(join_result)
+        compute_depths(join_result, depth_complete=depth_complete)
         .groupBy("doc_id")
         .agg((F.max("depth") + 1).cast("int").alias("tree_depth"))
     )
@@ -155,11 +166,20 @@ def hash_groups(features: DataFrame) -> DataFrame:
     )
 
 
-def redirect_chains(features: DataFrame, join_result: DataFrame) -> DataFrame:
+def redirect_chains(
+    features: DataFrame,
+    join_result: DataFrame,
+    depth_complete: bool | None = None,
+) -> DataFrame:
     """Redirect-chain listing per doc (the ``redirects`` property analogue,
-    har2tree.py:530-533): redirect-edge members ordered root-to-leaf."""
+    har2tree.py:530-533): redirect-edge members ordered root-to-leaf.
+    ``chain_len`` counts redirect EDGES anywhere in the tree — a whole-tree
+    figure, deliberately broader than the reference's ``redirects`` list
+    (which is the root->rendered-node path only; r7 ADVICE #3 documents
+    the divergence). ``depth_complete`` as in :func:`doc_stats`."""
     red = join_result.filter(F.col("join_kind") == "redirect")
-    d = compute_depths(join_result).withColumnRenamed("depth", "d")
+    d = compute_depths(join_result, depth_complete=depth_complete)
+    d = d.withColumnRenamed("depth", "d")
     return (
         red.join(d, ["doc_id", "span_idx"])
         .groupBy("doc_id")

@@ -102,8 +102,15 @@ def capture_report(spark: SparkSession, path: str) -> DataFrame:
     caps = har_source.read_har_captures(spark, path)
     features = parse.parse_documents(caps.select("doc_id", "spans"))
     tree = pages.attach_pages(cascade.resolve_exact(features), caps)
-    ds = stats.doc_stats(features, tree)
-    chains = stats.redirect_chains(features, tree).select(
+    # depth_complete=False: attach_pages nulls depth only on the rows it
+    # re-parents, leaving their descendants' depths stale — re-derive every
+    # depth from the post-ladder parent pointers (r7 ADVICE #1; the one-row
+    # probe in compute_depths must not see this mixed column).
+    ds = stats.doc_stats(features, tree, depth_complete=False)
+    # total_redirects = whole-tree redirect-EDGE count (see redirect_chains
+    # docstring: deliberately broader than the reference's root->rendered
+    # ``redirects`` path list — r7 ADVICE #3, documented deviation).
+    chains = stats.redirect_chains(features, tree, depth_complete=False).select(
         "doc_id", F.col("chain_len").alias("total_redirects")
     )
     totals = har_cookies.capture_cookie_totals(

@@ -179,7 +179,15 @@ def cookie_provenance(cookies: DataFrame) -> DataFrame:
     One equi-join on (doc_id, cookie) — the high-selectivity key — with
     the domain-suffix + ordering predicates as theta filters on the joined
     rows; doc_id co-partitioning keeps it in the pipeline's standard hash
-    layout at scale (the J8 pattern on real input)."""
+    layout at scale (the J8 pattern on real input).
+
+    Deliberate deviation (r7 ADVICE #5): the time-order predicate is
+    ``setter_idx < span_idx`` (entry order), while the reference compares
+    ``start_time`` strictly (har2tree.py:382) — entries sharing an
+    identical startedDateTime therefore produce setter pairs here that
+    the reference's strict-< excludes. Entry order IS startedDateTime
+    order (the adapter pre-sorts), so the two differ only on exact
+    timestamp ties, where entry order is the deterministic refinement."""
     sent = cookies.filter(F.col("direction") == "sent").select(
         "doc_id", "span_idx", "cookie", "hostname"
     )

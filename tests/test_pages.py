@@ -297,3 +297,24 @@ def test_attach_pages_duckdb_cross_check(spark, tmp_path):
     # the ladder actually fired somewhere in the random corpus
     kinds = {r[3] for r in got_rows}
     assert kinds & {"page", "page_rendered", "page_before"}
+
+
+def test_depths_recomputed_after_page_reparenting(spark, multipage_dir):
+    """r7 ADVICE #1: attach_pages nulls depth only on re-parented rows, so
+    consumers must re-derive depths from the post-ladder parent pointers.
+    In the multipage fixture span 3 re-parents 0->2, which moves it one
+    level DEEPER (0 -> 2 -> 3): the stale DFS depth column says 1, the
+    true post-ladder depth is 2 and the tree_depth is 3."""
+    from har2tree_spark.operators import stats
+
+    root, _ = multipage_dir
+    caps = har_source.read_har_captures(spark, root).cache()
+    feats = parse_documents(caps.select("doc_id", "spans"))
+    tree = attach_pages(resolve_exact(feats), caps)
+    depths = {
+        r["span_idx"]: r["depth"]
+        for r in stats.compute_depths(tree, depth_complete=False).collect()
+    }
+    assert depths == {0: 0, 1: 1, 2: 1, 3: 2}
+    ds = stats.doc_stats(feats, tree, depth_complete=False).collect()[0]
+    assert ds["tree_depth"] == 3
