@@ -317,18 +317,21 @@ def resolve_rank(
     return out.select([c.name for c in JOIN_RESULT_SCHEMA.fields])
 
 
-def resolve_exact(features: DataFrame, method: str = "batch") -> DataFrame:
+def resolve_exact(features: DataFrame, method: str = "arrow") -> DataFrame:
     """Reference-parity sequential cascade per doc (operators/kernel.py).
 
-    method='batch' (default): hash-repartition by doc_id +
+    method='arrow' (default, r8): hash-repartition by doc_id +
     sortWithinPartitions (docs contiguous in the Arrow stream) +
-    ``mapInPandas`` — one pandas frame per Arrow batch, numpy slice per
-    doc. Same shuffle count as the groupBy path but 3-4x less Python
-    overhead. method='group': applyInPandas one-frame-per-doc (kept as
-    the independently-coded parity check)."""
+    ``mapInArrow`` — numpy views straight off the Arrow buffers, no
+    pandas block-manager round trip (guide §4.2; the conversion was most
+    of the kernel stage's Python-side cost). method='batch': the prior
+    ``mapInPandas`` entry over the same kernel (kept as the independently
+    converted parity path). method='group': applyInPandas
+    one-frame-per-doc (the second parity check)."""
     from har2tree_spark.operators.kernel import (  # noqa: PLC0415
         KERNEL_COLS,
         cascade_batch,
+        cascade_batch_arrow,
         cascade_kernel,
     )
 
@@ -352,8 +355,9 @@ def resolve_exact(features: DataFrame, method: str = "batch") -> DataFrame:
     # where per-partition skew, not per-task overhead, is the binding risk.
     waves = max(1, int(os.environ.get("SPARK_GRAFT_KERNEL_WAVES", "1")))
     n_parts = waves * f.sparkSession.sparkContext.defaultParallelism
-    return (
-        f.repartition(n_parts, "doc_id")
-        .sortWithinPartitions("doc_id", "offset", "span_idx")
-        .mapInPandas(cascade_batch, JOIN_RESULT_SCHEMA)
+    clustered = f.repartition(n_parts, "doc_id").sortWithinPartitions(
+        "doc_id", "offset", "span_idx"
     )
+    if method == "batch":
+        return clustered.mapInPandas(cascade_batch, JOIN_RESULT_SCHEMA)
+    return clustered.mapInArrow(cascade_batch_arrow, JOIN_RESULT_SCHEMA)

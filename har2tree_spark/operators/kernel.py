@@ -317,6 +317,144 @@ def cascade_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield _process_frame(carry, presorted=True)
 
 
+# --------------------------------------------------------------- Arrow ----
+# Arrow-native variant of cascade_batch (r8, guide §4.2): mapInArrow skips
+# the Arrow->pandas block-manager round trip that dominated the kernel
+# stage (measured: identity mapInPandas 0.66s vs identity mapInArrow 0.50s
+# vs kernel compute +0.05s on the 20k-doc corpus). Columns become numpy
+# views straight from the Arrow buffers; doc_id stays an Arrow string
+# array end-to-end (boundaries via dictionary codes, output via take), so
+# no Python string object is ever materialized per row.
+
+_STAGE_NAMES = (
+    "root", "redirect", "frame", "initiator", "referer", "resource",
+    "fallback_host", "fallback_pip", "fallback_knn", "fallback_root",
+)
+_STAGE_CODE = {s: i for i, s in enumerate(_STAGE_NAMES)}
+_STAGE_PRIO = [PRIORITY[s] for s in _STAGE_NAMES]
+
+
+def _np_nullable(col, dtype=np.float64):
+    """Arrow column -> numpy with nulls as NaN (matches the pandas path's
+    na_value=np.nan conversion)."""
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    if col.null_count:
+        return pc.cast(col, "double").to_numpy(zero_copy_only=False)
+    return col.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+
+
+def _prep_arrow(batch) -> dict:
+    """Prepared-array dict (same contract as ``_prep``) from a RecordBatch
+    of KERNEL_COLS rows sorted by (doc_id, offset, span_idx)."""
+    key = _np_nullable(batch.column("key_num"))
+    media = _np_nullable(batch.column("media_num"))
+    has_key = ~np.isnan(key)
+    key_i = np.where(has_key, key, -1).astype(np.int64)
+    kn = np.where(has_key, key, 0).astype(np.int64)
+    lon, lat = grid.np_point(kn)
+    cell = grid.np_cell(kn, grid.FINE_RES).astype(np.float64)
+    coarse = grid.np_cell(kn, grid.COARSE_RES).astype(np.float64)
+    nankey = ~has_key
+    lon[nankey] = np.nan
+    lat[nankey] = np.nan
+    cell[nankey] = np.nan
+    coarse[nankey] = np.nan
+    refs = batch.column("ref_nums")
+    offs = refs.offsets.to_numpy()
+    vals = refs.values.to_numpy() if len(refs.values) else np.empty(0, np.int64)
+    return {
+        "doc_id": batch.column("doc_id"),  # stays Arrow
+        "span_idx": batch.column("span_idx").to_numpy(zero_copy_only=False),
+        "kind": batch.column("kind_code").to_numpy(zero_copy_only=False),
+        "has_media": batch.column("has_media").to_numpy(zero_copy_only=False),
+        "media": np.where(np.isnan(media), -1, media).astype(np.int64),
+        "key": key_i,
+        "valid": batch.column("valid").to_numpy(zero_copy_only=False),
+        "lon": lon,
+        "lat": lat,
+        "cell": cell,
+        "coarse": coarse,
+        "ref_nums": [vals[offs[i]:offs[i + 1]] for i in range(len(offs) - 1)],
+    }
+
+
+def _emit_arrow(a: dict, chunks):
+    """RecordBatch from per-doc results; doc_id via Arrow take (no Python
+    strings), join_kind via take from the constant stage-name array."""
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    perm_parts, span_parts, parent_parts, code_parts, depth_parts = [], [], [], [], []
+    span_idx = a["span_idx"]
+    for lo, ch, par, st, dep in chunks:
+        loc = np.asarray(ch, dtype=np.int64)
+        perm_parts.append(lo + loc)
+        span_parts.append(span_idx[lo + loc])
+        parent_parts.append(
+            np.asarray(
+                [span_idx[lo + p] if p >= 0 else -1 for p in par], dtype=np.int64
+            )
+        )
+        code_parts.append(np.asarray([_STAGE_CODE[s] for s in st], dtype=np.int64))
+        depth_parts.append(dep[loc])
+    perm = np.concatenate(perm_parts)
+    codes = np.concatenate(code_parts)
+    prio = np.asarray(_STAGE_PRIO, dtype=np.int32)[codes]
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(a["doc_id"], pa.array(perm)),
+            pa.array(np.concatenate(span_parts).astype(np.int32)),
+            pa.array(np.concatenate(parent_parts).astype(np.int32)),
+            pc.take(pa.array(list(_STAGE_NAMES)), pa.array(codes)),
+            pa.array(prio),
+            pa.array(np.concatenate(depth_parts).astype(np.int32)),
+        ],
+        names=["doc_id", "span_idx", "parent_idx", "join_kind", "priority", "depth"],
+    )
+
+
+def _process_block(did_codes: np.ndarray, a: dict):
+    """Run every doc in a prepared block; boundaries from doc-id codes."""
+    bounds = np.flatnonzero(
+        np.concatenate(([True], did_codes[1:] != did_codes[:-1]))
+    )
+    bounds = np.append(bounds, len(did_codes))
+    chunks = []
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        chunks.append((lo, *_run_doc(a, lo, hi)))
+    return _emit_arrow(a, chunks)
+
+
+def cascade_batch_arrow(batches) -> Iterator:
+    """mapInArrow entry over doc_id-clustered, (doc_id, offset, span_idx)-
+    sorted partitions; same carry-over contract as ``cascade_batch``."""
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    carry = None  # trailing-doc RecordBatch slice
+    for batch in batches:
+        if carry is not None and carry.num_rows:
+            tbl = pa.Table.from_batches([carry, batch]).combine_chunks()
+            batch = tbl.to_batches()[0] if tbl.num_rows else batch
+            carry = None
+        n = batch.num_rows
+        if n == 0:
+            continue
+        did = batch.column("doc_id")
+        codes = pc.dictionary_encode(did).indices.to_numpy(zero_copy_only=False)
+        first_of_last = int(np.searchsorted(codes, codes[-1], side="left"))
+        carry = batch.slice(first_of_last)
+        head = batch.slice(0, first_of_last)
+        if head.num_rows:
+            yield _process_block(codes[:first_of_last], _prep_arrow(head))
+    if carry is not None and carry.num_rows:
+        did = carry.column("doc_id")
+        codes = pc.dictionary_encode(did).indices.to_numpy(zero_copy_only=False)
+        yield _process_block(codes, _prep_arrow(carry))
+
+
 def _fallback(d, consumed, depth, attach_seq, kind, lon, lat, cell, coarse, root):
     # cold path: convert the list-based DFS state back to numpy
     att = np.flatnonzero(np.asarray(consumed, dtype=bool))

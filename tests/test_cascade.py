@@ -195,3 +195,21 @@ def test_stack_walk_cross_engine_fuzz(spark):
     }
     for i, v in enumerate(vals):
         assert got[i] == pycascade._resolve_media(v), (v, got[i])
+
+
+def test_arrow_kernel_matches_pandas_kernel(spark):
+    """The r8 mapInArrow kernel entry must be row-identical to the
+    mapInPandas entry (same _run_doc core, independently converted
+    boundaries: nullable ints, list offsets, carry-over slicing)."""
+    from har2tree_spark.datagen import GenConfig, gen_documents_df
+    from har2tree_spark.operators.parse import parse_documents
+
+    docs = gen_documents_df(
+        spark, 400, seed=11,
+        cfg=GenConfig(max_spans=24, p_hot=0.5, p_orphan=0.2, p_dup_invalid=0.2),
+        include_scenarios=True,
+    )
+    feats = parse_documents(docs).localCheckpoint()
+    a = sorted(tuple(r) for r in resolve_exact(feats, method="arrow").collect())
+    b = sorted(tuple(r) for r in resolve_exact(feats, method="batch").collect())
+    assert a == b

@@ -66,7 +66,7 @@ def test_cascade_exact_single_shuffle(spark, tmp_path):
     plan = _plan(jr)
     # one Exchange (hash by doc_id), then sort + python map — nothing else
     assert _n_exchanges(plan) == 1, plan
-    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+    assert "MapInArrow" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
 
 
 def test_filter_pushdown_to_scan(spark):
