@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 # the terminal root fallback (the rows they refine carried fallback_root)
 PAGE_PRIORITY = {"page": 10, "page_rendered": 11, "page_before": 12}
 
+# ancestor hops the cycle guard walks before declaring an anchor path
+# unresolvable (and rejecting the re-parent); far above real tree depths
+# (the deepest real capture measured is 50)
+_CYCLE_WALK_CAP = 256
+
 _CAP_COLS = (
     "rendered_span_idx",
     "span_pagerefs",
@@ -104,15 +109,85 @@ def attach_pages(tree: DataFrame, captures: DataFrame) -> DataFrame:
         .when(arm_c, PAGE_PRIORITY["page_before"])
     )
     hit = is_orphan & new_parent.isNotNull()
-    return t.select(
+    cand = t.select(
         "doc_id",
         "span_idx",
-        F.when(hit, new_parent).otherwise(F.col("parent_idx")).cast("int").alias(
-            "parent_idx"
+        F.col("parent_idx").alias("old_parent"),
+        F.col("join_kind").alias("old_kind"),
+        F.col("priority").alias("old_prio"),
+        F.col("depth").alias("old_depth"),
+        hit.alias("hit"),
+        new_parent.cast("int").alias("new_parent"),
+        new_kind.alias("new_kind"),
+        new_prio.cast("int").alias("new_prio"),
+    )
+    # Cycle guard (r7 ADVICE #2): an orphan's anchor (page root / rendered
+    # node / prior-page root) can itself sit UNDER the orphan — e.g. the
+    # page root was claimed as the orphan's resource child by the cascade —
+    # and re-parenting would then close a cycle the reference's sequential
+    # build cannot produce, leaving cycle members unreachable to the
+    # pointer-doubling depth pass. Reject any re-parent whose anchor's
+    # root path (walked over the POST-ladder parent map, so mutually
+    # dependent re-parents are also caught) passes through the span
+    # itself; a rejected row keeps its original fallback_root edge, which
+    # can never create a cycle (its path ends at the tree root). The walk
+    # is a bounded JVM fold (_CYCLE_WALK_CAP ancestor hops, far above any
+    # real capture depth — lalibre max is 50; a cycle longer than the cap
+    # would go undetected, accepted residual risk). Every member of a
+    # cycle sees its own walk return to itself and is rejected, so the
+    # result is a forest. No Python, one doc-keyed aggregate + join
+    # beyond the r7 plan.
+    pmap = cand.groupBy("doc_id").agg(
+        F.map_from_arrays(
+            F.collect_list("span_idx"),
+            F.collect_list(
+                F.when(F.col("hit"), F.col("new_parent")).otherwise(
+                    F.col("old_parent")
+                )
+            ),
+        ).alias("_pmap")
+    )
+    cand = cand.join(pmap, "doc_id", "left")
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_CYCLE_WALK_CAP)),
+        F.struct(
+            F.col("new_parent").alias("cur"),
+            F.lit(False).alias("cyc"),
+            F.lit(False).alias("done"),
         ),
-        F.when(hit, new_kind).otherwise(F.col("join_kind")).alias("join_kind"),
-        F.when(hit, new_prio).otherwise(F.col("priority")).cast("int").alias(
-            "priority"
+        lambda acc, _: F.when(acc["done"], acc).otherwise(
+            F.struct(
+                F.element_at(F.col("_pmap"), acc["cur"]).alias("cur"),
+                acc["cur"].eqNullSafe(F.col("span_idx")).alias("cyc"),
+                (
+                    acc["cur"].eqNullSafe(F.col("span_idx"))
+                    | F.element_at(F.col("_pmap"), acc["cur"]).isNull()
+                    | (F.element_at(F.col("_pmap"), acc["cur"]) == -1)
+                ).alias("done"),
+            )
         ),
-        F.when(hit, F.lit(None)).otherwise(F.col("depth")).cast("int").alias("depth"),
+        # reject only a walk that reached the span ITSELF: a walk that
+        # merely runs into ANOTHER orphan's cycle (or past the cap) keeps
+        # its re-parent — once the actual cycle members are rejected (each
+        # of their walks reaches itself around the loop), such paths
+        # terminate at the root again, so rejecting them too would be
+        # needless over-rejection
+        lambda acc: acc["cyc"],
+    )
+    ok = F.col("hit") & ~F.when(F.col("hit"), walk).otherwise(F.lit(False))
+    return cand.select(
+        "doc_id",
+        "span_idx",
+        F.when(ok, F.col("new_parent")).otherwise(F.col("old_parent")).cast(
+            "int"
+        ).alias("parent_idx"),
+        F.when(ok, F.col("new_kind")).otherwise(F.col("old_kind")).alias(
+            "join_kind"
+        ),
+        F.when(ok, F.col("new_prio")).otherwise(F.col("old_prio")).cast(
+            "int"
+        ).alias("priority"),
+        F.when(ok, F.lit(None)).otherwise(F.col("old_depth")).cast("int").alias(
+            "depth"
+        ),
     )

@@ -292,6 +292,36 @@ def test_attach_pages_duckdb_cross_check(spark, tmp_path):
           FROM z
         )
     """).fetchall()
+    # cycle-guard replay (r7 ADVICE #2), implemented INDEPENDENTLY as a
+    # plain dict walk: a re-parented row whose anchor path (over the
+    # post-ladder parent map) returns to the row itself is rejected back
+    # to its original fallback edge — mirror of pages._CYCLE_WALK_CAP.
+    orig = {
+        (r[0], r[1]): tuple(r)
+        for r in con.execute(
+            "SELECT doc_id, span_idx, parent_idx, join_kind, priority, depth FROM tree"
+        ).fetchall()
+    }
+    post = {(r[0], r[1]): tuple(r) for r in oracle}
+    pmap = {}
+    for (d, s), r in post.items():
+        pmap.setdefault(d, {})[s] = r[2]
+    fixed = []
+    for (d, s), r in post.items():
+        if r[3] in ("page", "page_rendered", "page_before"):
+            cur, cyc = r[2], False
+            for _ in range(256):
+                if cur == s:
+                    cyc = True
+                    break
+                cur = pmap[d].get(cur)
+                if cur is None or cur == -1:
+                    break
+            if cyc:
+                fixed.append(orig[(d, s)])
+                continue
+        fixed.append(r)
+    oracle = fixed
     got_rows = sorted(tuple(r) for r in spark.read.parquet(got_pq).collect())
     assert got_rows == sorted(tuple(r) for r in oracle)
     # the ladder actually fired somewhere in the random corpus
@@ -318,3 +348,57 @@ def test_depths_recomputed_after_page_reparenting(spark, multipage_dir):
     assert depths == {0: 0, 1: 1, 2: 1, 3: 2}
     ds = stats.doc_stats(feats, tree, depth_complete=False).collect()[0]
     assert ds["tree_depth"] == 3
+
+
+def test_attach_pages_rejects_cycle_forming_anchor(spark):
+    """r7 ADVICE #2: an orphan whose ladder anchor sits in its own subtree
+    (here: the page-2 root was claimed as the orphan's resource child)
+    must NOT be re-parented — orphan->anchor->orphan would leave both
+    unreachable to the depth pass. The re-parent is rejected and the
+    orphan keeps its fallback_root edge; independent re-parents in the
+    same doc still land."""
+    import pyspark.sql.types as T
+
+    tree = spark.createDataFrame(
+        [
+            ("d", 0, -1, "root", 0, 0),
+            # span 2 (page-2 root) is the orphan's resource CHILD
+            ("d", 2, 1, "resource", 5, None),
+            ("d", 1, 0, "fallback_root", 9, None),
+            # an unrelated orphan whose arm-A anchor (span 2) is fine
+            ("d", 3, 0, "fallback_root", 9, None),
+        ],
+        "doc_id string, span_idx int, parent_idx int, join_kind string, priority int, depth int",
+    )
+    caps = spark.createDataFrame(
+        [
+            (
+                "d",
+                None,               # rendered_span_idx
+                ["p1", "p2", "p2", "p2"],  # span_pagerefs
+                ["p1", "p2"],       # page_ids
+                [0, 2],             # pages_root_idx
+                [None, 0],          # page_before_root_idx
+                None,               # page_default_anchor_idx
+            )
+        ],
+        T.StructType([
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("rendered_span_idx", T.IntegerType()),
+            T.StructField("span_pagerefs", T.ArrayType(T.StringType())),
+            T.StructField("page_ids", T.ArrayType(T.StringType())),
+            T.StructField("pages_root_idx", T.ArrayType(T.IntegerType())),
+            T.StructField("page_before_root_idx", T.ArrayType(T.IntegerType())),
+            T.StructField("page_default_anchor_idx", T.IntegerType()),
+        ]),
+    )
+    out = {r["span_idx"]: r for r in attach_pages(tree, caps).collect()}
+    # span 1: arm A would anchor to span 2, but 2's parent chain is 2->1
+    # (the span itself) — rejected, stays on the original fallback edge
+    assert out[1]["join_kind"] == "fallback_root"
+    assert out[1]["parent_idx"] == 0
+    # span 3: same arm-A anchor, no cycle (3 is not on 2's path) — lands
+    assert out[3]["join_kind"] == "page"
+    assert out[3]["parent_idx"] == 2
+    # untouched rows stay untouched
+    assert out[2]["join_kind"] == "resource" and out[2]["parent_idx"] == 1
