@@ -7,20 +7,24 @@ har2tree.py:879-1014; consumption at :924, :958, :968, :987, :1011).
 
 Two resolution modes:
 
-  * ``resolve_rank`` — fully relational: union the candidate edges of all
-    five stages, then one window (`row_number` per child ordered by stage
-    priority, parent offset) picks each child's winner. Single-pass,
-    SQL-expressible (the driver's DuckDB oracle runs the same statement),
-    and the idiomatic at-scale plan: every join is an equi-join keyed by
-    (doc_id, feature-key) so AQE can pick broadcast/skew variants.
-    It deliberately relaxes the reference's DFS *visit order* to a
-    per-child priority order — the consume-once guarantee (each child
-    attached exactly once, strongest claim wins) is preserved.
+  * ``resolve_rank`` — fully relational: ONE probe→target equi-join on
+    (doc_id, pointer = key) generates the candidate edges of all five
+    stages (r8; see candidate_edges), then one ``min_by`` aggregate per
+    child (priority, parent offset, parent ordering) picks each child's
+    winner with map-side partial combine. Single-pass, SQL-expressible
+    (the driver's DuckDB oracle replays the same semantics as its own
+    five-branch statement — the restructure is engine-side only, verified
+    row/multiset-identical), and the idiomatic at-scale plan: the join is
+    keyed by (doc_id, feature-key) so AQE can pick broadcast/skew
+    variants. It deliberately relaxes the reference's DFS *visit order*
+    to a per-child priority order — the consume-once guarantee (each
+    child attached exactly once, strongest claim wins) is preserved.
 
   * ``resolve_exact`` — reference-parity sequential semantics: the per-doc
     DFS with true consume-once ordering and the spatial fallback cascade,
-    run as a vectorized kernel inside ``applyInPandas`` (docs are
-    independent and small — the natural unit of parallelism at 10^12-doc
+    run as a vectorized kernel behind ``mapInArrow`` (r8 default; the
+    mapInPandas / applyInPandas entries remain as parity paths — docs are
+    independent and small, the natural unit of parallelism at 10^12-doc
     scale; there is no cross-doc dataflow, so this parallelizes linearly).
     Matches the pure-Python oracle (oracle/pycascade.py) bit-for-bit.
 """
