@@ -200,7 +200,11 @@ def test_stack_walk_cross_engine_fuzz(spark):
 def test_arrow_kernel_matches_pandas_kernel(spark):
     """The r8 mapInArrow kernel entry must be row-identical to the
     mapInPandas entry (same _run_doc core, independently converted
-    boundaries: nullable ints, list offsets, carry-over slicing)."""
+    boundaries: nullable ints, list offsets, carry-over slicing). Runs
+    with a tiny Arrow batch size so docs straddle batch boundaries
+    constantly — the carry/slice path (Table concat, sliced ListArray
+    offsets) is the riskiest code and must be exercised, not dodged by
+    everything fitting in one 10k-row batch."""
     from har2tree_spark.datagen import GenConfig, gen_documents_df
     from har2tree_spark.operators.parse import parse_documents
 
@@ -210,6 +214,12 @@ def test_arrow_kernel_matches_pandas_kernel(spark):
         include_scenarios=True,
     )
     feats = parse_documents(docs).localCheckpoint()
-    a = sorted(tuple(r) for r in resolve_exact(feats, method="arrow").collect())
-    b = sorted(tuple(r) for r in resolve_exact(feats, method="batch").collect())
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "37")
+    try:
+        a = sorted(tuple(r) for r in resolve_exact(feats, method="arrow").collect())
+        b = sorted(tuple(r) for r in resolve_exact(feats, method="batch").collect())
+    finally:
+        spark.conf.set(key, prev)
     assert a == b
