@@ -28,6 +28,11 @@ FILLER = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
 # Link types and the span-kind constraints they impose (SURVEY.md §2.4).
 _LINKS = ("redirect", "frame", "initiator", "referer", "resource")
 _CONTENT_KINDS = ("text", "html", "css", "js", "img", "video", "audio")
+# rng.choice(seq) with no p/size draws exactly one integers(0, len(seq)) from
+# the bit stream, so seq[int(rng.integers(0, len(seq)))] is draw-sequence
+# identical while skipping Generator.choice's array wrapping (~5x faster per
+# call; verified bit-equal in tests/test_datagen.py).
+_CONTENT_NO_JS = tuple(k for k in _CONTENT_KINDS if k != "js")
 
 
 @dataclass(frozen=True)
@@ -76,7 +81,7 @@ def _make_doc(rng: np.random.Generator, doc_index: int, cfg: GenConfig) -> list[
                 kinds[i] = "html"
             else:  # parent already committed; fall back to a referer link
                 media[i] = target_key
-                kinds[i] = str(rng.choice(_CONTENT_KINDS))
+                kinds[i] = _CONTENT_KINDS[int(rng.integers(0, len(_CONTENT_KINDS)))]
         elif link == "frame":
             if kinds[parent] in ("", "text", "html", "iframe"):
                 kinds[parent] = "iframe"
@@ -85,7 +90,7 @@ def _make_doc(rng: np.random.Generator, doc_index: int, cfg: GenConfig) -> list[
                 kinds[i] = "html"
             else:
                 media[i] = target_key
-                kinds[i] = str(rng.choice(_CONTENT_KINDS))
+                kinds[i] = _CONTENT_KINDS[int(rng.integers(0, len(_CONTENT_KINDS)))]
         elif link == "initiator":
             kinds[i] = "js"
             # F21: some initiators arrive as call-stack walks rather than
@@ -100,7 +105,7 @@ def _make_doc(rng: np.random.Generator, doc_index: int, cfg: GenConfig) -> list[
             else:
                 media[i] = target_key
         elif link == "referer":
-            kinds[i] = str(rng.choice([k for k in _CONTENT_KINDS if k != "js"]))
+            kinds[i] = _CONTENT_NO_JS[int(rng.integers(0, len(_CONTENT_NO_JS)))]
             media[i] = target_key
         else:  # resource: parent's text embeds child's key; child has no referer
             if kinds[parent] in ("", "text", "html", "css", "js"):
@@ -108,10 +113,10 @@ def _make_doc(rng: np.random.Generator, doc_index: int, cfg: GenConfig) -> list[
                     kinds[parent] = "html"
                 if not orphan:
                     extra_tokens[parent].append(keys[i])
-                kinds[i] = str(rng.choice(_CONTENT_KINDS))
+                kinds[i] = _CONTENT_KINDS[int(rng.integers(0, len(_CONTENT_KINDS)))]
             else:
                 media[i] = target_key
-                kinds[i] = str(rng.choice(_CONTENT_KINDS))
+                kinds[i] = _CONTENT_KINDS[int(rng.integers(0, len(_CONTENT_KINDS)))]
 
     for i in range(n):
         if kinds[i] == "":
