@@ -61,6 +61,17 @@ def get_spark(
             "spark.shuffle.sort.bypassMergeThreshold",
             os.environ.get("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "0"),
         )
+        # Unix-domain sockets for the executor<->Python-worker channel
+        # (Spark 4.1). The channel is host-local by construction on any
+        # deployment (workers fork next to their executor), so skipping
+        # the TCP handshake+loopback stack is scale-safe, not a local-mode
+        # trick. Measured (r8): identity 32-task Arrow stage 0.295 s ->
+        # 0.252 s best-of-6, every sample better; ~40-50 ms saved per
+        # Python-stage job. Env override for hosts without UDS support.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            os.environ.get("SPARK_GRAFT_PYTHON_UDS", "true"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
