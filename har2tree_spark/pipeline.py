@@ -95,11 +95,43 @@ def capture_report(spark: SparkSession, path: str) -> DataFrame:
     plus doc_id, n_entries, initial_title, root_url_key, root_user_agent,
     final_redirect_url, rendered_span_idx, n_rendered_urls.  Every join is
     doc_id-keyed (the pipeline's standard co-partitioning); the cookie
-    scan is a second pass over the same listing."""
+    totals come from the captures reader's own ``cookie_events`` column
+    (r8: one binaryFile listing + one JSON parse per capture — the old
+    second cookie scan re-listed and re-parsed the whole corpus)."""
     from har2tree_spark.operators import pages  # noqa: PLC0415
     from har2tree_spark.sources import har_cookies, har_source  # noqa: PLC0415
 
-    caps = har_source.read_har_captures(spark, path)
+    # ONE binaryFile listing + ONE JSON parse per capture, materialized
+    # eagerly (the cascade.py localCheckpoint rationale applies): the
+    # report fans the captures frame out to features, the pages ladder,
+    # cookie totals and the meta projection — lazily, each consumer
+    # re-ran the whole scan+parse subtree (9 binaryFile scans in the
+    # executed plan; r7 VERDICT #4 counted the cookie one alone).  Only
+    # the columns the report actually reads are materialized — the
+    # heavyweight payload columns (rendered_html, frames_json,
+    # downloaded_*) would dominate the checkpoint bytes for nothing.
+    caps = (
+        har_source.read_har_captures(spark, path)
+        .select(
+            "doc_id",
+            "spans",
+            "rendered_span_idx",
+            "span_pagerefs",
+            "page_ids",
+            "pages_root_idx",
+            "page_before_root_idx",
+            "page_default_anchor_idx",
+            "n_entries",
+            "n_unique_hostnames",
+            "initial_title",
+            "root_url_key",
+            "root_user_agent",
+            "final_redirect_url",
+            "rendered_urls",
+            "cookie_events",
+        )
+        .localCheckpoint()
+    )
     features = parse.parse_documents(caps.select("doc_id", "spans"))
     tree = pages.attach_pages(cascade.resolve_exact(features), caps)
     # depth_complete=False: attach_pages nulls depth only on the rows it
@@ -114,7 +146,7 @@ def capture_report(spark: SparkSession, path: str) -> DataFrame:
         "doc_id", F.col("chain_len").alias("total_redirects")
     )
     totals = har_cookies.capture_cookie_totals(
-        har_cookies.read_har_cookies(spark, path)
+        har_cookies.cookies_from_captures(caps)
     )
     meta = caps.select(
         "doc_id",

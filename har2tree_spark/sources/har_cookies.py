@@ -24,8 +24,11 @@ third_party_cookies_received are the distinct-set sizes), which the
 capture stats then union across hosts (har2tree.py:511-522
 total_cookies_sent / total_cookies_received).
 
-Re-grounded Spark-first: ``read_har_cookies`` is a flat distributed scan
-(binaryFile -> mapInPandas, one row per cookie event);
+Re-grounded Spark-first: the cookie events are emitted by the captures
+reader's single per-file walk (``har_source.har_to_doc``; r8, killing the
+second binaryFile scan + JSON re-parse — r7 VERDICT #4) and
+``cookies_from_captures`` explodes them JVM-side into the flat table
+(one row per cookie event);
 ``cookie_provenance`` is ONE doc_id-keyed equi-join on (doc_id, cookie)
 with the time-order predicate applied as a theta filter — the real-input
 instance of the engine's J8 as-of/theta join; ``host_cookie_rollup`` is
@@ -41,15 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from har2tree_spark.sources.har_source import (
-    _body_text,
-    _dict,
-    _doc_id_of,
-    _load_har_bytes_safe,
-    _norm,
-    _sorted_entries,
-)
-from har2tree_spark.sources.urlkit import url_hostname as _hostname
+from har2tree_spark.sources.har_source import _dict
 
 
 def entry_cookies(entry: dict, hostname: str) -> list[dict]:
@@ -90,63 +85,47 @@ def entry_cookies(entry: dict, hostname: str) -> list[dict]:
     return out
 
 
+def cookies_from_captures(captures: DataFrame) -> DataFrame:
+    """Captures frame (``read_har_captures`` output, which carries the
+    nullable ``cookie_events`` column from its single-pass walk) -> the
+    flat cookie table: one row per cookie event with the same columns the
+    standalone scan used to produce (doc_id, span_idx, hostname,
+    direction, cookie, domain, is_3rd_party, empty_response).
+
+    Pure JVM explode — no second file listing, no second JSON parse
+    (r7 VERDICT #4).  Pass the SAME captures DataFrame a pipeline already
+    holds so one scan feeds both the tree and the cookie surface."""
+    ev = captures.select("doc_id", F.explode("cookie_events").alias("ev"))
+    return ev.select(
+        "doc_id",
+        F.col("ev.span_idx").alias("span_idx"),
+        F.col("ev.hostname").alias("hostname"),
+        F.col("ev.direction").alias("direction"),
+        F.col("ev.cookie").alias("cookie"),
+        F.col("ev.domain").alias("domain"),
+        F.col("ev.is_3rd_party").alias("is_3rd_party"),
+        F.col("ev.empty_response").alias("empty_response"),
+    )
+
+
 def read_har_cookies(spark, path: str, pattern: str = "*.har") -> DataFrame:
     """Directory of HAR files -> one row per cookie event:
     (doc_id, span_idx, hostname, direction, cookie, domain, is_3rd_party,
     empty_response).
 
     span_idx aligns with the documents reader's span order (same pre-sort),
-    so this table joins 1:1 against the parse/cascade output.  Distributed
-    exactly like read_har_dir: binaryFile assigns files to tasks, the
-    per-file walk runs in one Arrow batch."""
-    import pandas as pd  # noqa: PLC0415
-    from pyspark.sql import types as T  # noqa: PLC0415
+    so this table joins 1:1 against the parse/cascade output.
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("span_idx", T.IntegerType(), False),
-            T.StructField("hostname", T.StringType(), True),
-            T.StructField("direction", T.StringType(), False),
-            T.StructField("cookie", T.StringType(), False),
-            T.StructField("domain", T.StringType(), True),
-            T.StructField("is_3rd_party", T.BooleanType(), False),
-            T.StructField("empty_response", T.BooleanType(), False),
-        ]
-    )
-    raw = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", pattern)
-        .option("recursiveFileLookup", "true")
-        .load(path)
-        .select("path", "content")
-    )
-    cols = [f.name for f in schema.fields]
+    r8: delegates to the captures reader's single-pass ``cookie_events``
+    column (r7 VERDICT #4) instead of running its own binaryFile scan +
+    JSON re-parse.  ``pattern`` is kept for signature compatibility but
+    the capture listing's brace glob governs — which also means a
+    ``foo.har.gz``-only capture now produces cookie rows (deduped
+    .har-over-.har.gz exactly like the documents reader) where the old
+    ``*.har`` default silently skipped it."""
+    from har2tree_spark.sources.har_source import read_har_captures  # noqa: PLC0415
 
-    def run(batches):
-        for pdf in batches:
-            rows = []
-            for p, c in zip(pdf["path"].tolist(), pdf["content"].tolist()):
-                doc_id = _doc_id_of(p, path)
-                for i, e in enumerate(_sorted_entries(_load_har_bytes_safe(c))):
-                    raw_url = str(_dict(e.get("request")).get("url", "") or "")
-                    if not raw_url:
-                        continue
-                    host = _hostname(_norm(raw_url))
-                    empty = not _body_text(e)
-                    rows.extend(
-                        {
-                            "doc_id": doc_id,
-                            "span_idx": i,
-                            "hostname": host,
-                            "empty_response": empty,
-                            **ck,
-                        }
-                        for ck in entry_cookies(e, host)
-                    )
-            yield pd.DataFrame(rows, columns=cols)
-
-    return raw.mapInPandas(run, schema=schema)
+    return cookies_from_captures(read_har_captures(spark, path))
 
 
 def initial_cookies(cookies: DataFrame, features: DataFrame) -> DataFrame:

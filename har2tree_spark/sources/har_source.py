@@ -605,6 +605,13 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
         for e in entries
         if _dict(e.get("request")).get("url")
     }
+    # cookie events ride the SAME walk (r7 VERDICT #4: one binaryFile scan
+    # + one JSON parse per capture — read_har_cookies used to re-list and
+    # re-parse the whole corpus for them). Captures path only: the plain
+    # read_har_dir row stays two-column and skips the extra _body_text
+    # decode for non-html/css/js entries.
+    want_cookies = sidecars is not None
+    cookie_events: list[dict] = []
     spans = []
     urls: list[str] = []  # per-entry normalized URL ('' for empty entries)
     redirect_targets: list[str] = []  # per-entry resolved redirect URL or ''
@@ -634,7 +641,34 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
             str(e.get("_resourceType", "") or ""),
             redirect and status > 0,
         )
-        body = _body_text(e) if kind in ("html", "css", "js") else ""
+        if want_cookies:
+            from har2tree_spark.sources.har_cookies import (  # noqa: PLC0415
+                entry_cookies,
+            )
+
+            bt = _body_text(e)
+            body = bt if kind in ("html", "css", "js") else ""
+            host = url_hostname(url)
+            evs = entry_cookies(e, host)
+            if evs:
+                # identical fields + values to the old standalone scan:
+                # hostname from the normalized URL, empty_response = no
+                # decoded body text (nodes.py:541-546 semantics)
+                empty = not bt
+                cookie_events.extend(
+                    {
+                        "span_idx": i,
+                        "hostname": host,
+                        "direction": ck["direction"],
+                        "cookie": ck["cookie"],
+                        "domain": ck["domain"],
+                        "is_3rd_party": ck["is_3rd_party"],
+                        "empty_response": empty,
+                    }
+                    for ck in evs
+                )
+        else:
+            body = _body_text(e) if kind in ("html", "css", "js") else ""
         # per-entry redirect target for the rendered-node walk: the HTTP
         # redirectURL arm wins; an html body's JS/meta-refresh redirect is
         # the reference's other 'redirect'-feature source (nodes.py:577-590)
@@ -703,6 +737,10 @@ def har_to_doc(doc_id: str, har: dict, sidecars: dict | None = None) -> dict:
         "has_initial_redirects": None,
         "initial_redirect_keys": None,
         "need_tree_redirects": None,
+        # per-entry cookie events from this same walk (r7 VERDICT #4);
+        # None (not []) when the capture has no cookies so the column
+        # stays nullable like every other sidecar-tier column
+        "cookie_events": cookie_events or None,
     }
 
     # initial_title (har2tree.py:228-234: first page's title, with the
@@ -999,6 +1037,26 @@ def captures_schema():
             T.StructField("has_initial_redirects", T.BooleanType(), True),
             T.StructField("initial_redirect_keys", T.ArrayType(T.StringType()), True),
             T.StructField("need_tree_redirects", T.BooleanType(), True),
+            # per-entry cookie events from the same single-pass walk
+            # (r7 VERDICT #4); har_cookies.cookies_from_captures explodes
+            # this into the flat cookie table
+            T.StructField(
+                "cookie_events",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("span_idx", T.IntegerType(), False),
+                            T.StructField("hostname", T.StringType(), True),
+                            T.StructField("direction", T.StringType(), False),
+                            T.StructField("cookie", T.StringType(), False),
+                            T.StructField("domain", T.StringType(), True),
+                            T.StructField("is_3rd_party", T.BooleanType(), False),
+                            T.StructField("empty_response", T.BooleanType(), False),
+                        ]
+                    )
+                ),
+                True,
+            ),
         ]
     )
 
