@@ -945,6 +945,56 @@ def read_har_dir(spark, path: str, pattern: str = "*.har"):
     return _docs_from_binary(raw, path)
 
 
+def read_har_packed(spark, path: str, pattern: str = "*.harpack"):
+    """Packed-capture ingest arm (r7 VERDICT #8; guide §6 small-files):
+    plain-tar bundles of HAR files (as written by tools/pack_captures.py)
+    -> documents DataFrame (DOCUMENTS_SCHEMA), row-identical to
+    ``read_har_dir`` over the unpacked tree.
+
+    Rationale: at ~32 KB/capture the ingest cost driver is the FILE
+    BOUNDARY (listing + per-file open + Arrow framing), not the JSON
+    decode — the no-parse scan floor alone is ~55% of full-ingest wall
+    (BENCH/BASELINE.md r7 ingest table).  Packing N captures per bundle
+    turns N listing/open/frame cycles into one; the unpack (uncompressed
+    tar = header walk + memoryview slices) runs inside the SAME
+    mapInPandas closure that parses, so no second pass and no driver
+    state.  doc_id = the member's archive name minus .har/.har.gz —
+    bundles written from a corpus root reproduce read_har_dir's ids."""
+    import pandas as pd  # noqa: PLC0415
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("content")
+    )
+
+    def run(batches):
+        import io  # noqa: PLC0415
+        import tarfile  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for c in pdf["content"].tolist():
+                with tarfile.open(fileobj=io.BytesIO(c), mode="r:") as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        name = m.name
+                        for suffix in (".har.gz", ".har"):
+                            if name.endswith(suffix):
+                                doc_id = name[: -len(suffix)]
+                                break
+                        else:
+                            continue
+                        data = tf.extractfile(m).read()
+                        rows.append(har_to_doc(doc_id, _load_har_bytes_safe(data)))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return raw.mapInPandas(run, schema=DOCUMENTS_SCHEMA)
+
+
 def stream_har_documents(spark, path: str, pattern: str = "*.har", max_files: int = 8):
     """Streaming HAR arrivals -> documents STREAM (DOCUMENTS_SCHEMA).
 

@@ -814,3 +814,53 @@ def test_rendered_urls_column(spark, tmp_path):
     ]
     # pure-function form matches
     assert har_source.rendered_page_urls(html, a) == list(row["rendered_urls"])
+
+
+def test_packed_ingest_row_identical(spark, tmp_path):
+    """r7 VERDICT #8: read_har_packed over pack_captures.py bundles is
+    row-identical to read_har_dir over the unpacked tree — doc_ids from
+    the member's root-relative archive name, gzip members included, and
+    the bundle boundary (3 per bundle here) never splits/merges docs."""
+    import gzip
+    import json as _json
+
+    from tools.pack_captures import pack_dir
+
+    src = tmp_path / "src"
+    sub = src / "nested"
+    sub.mkdir(parents=True)
+    for i in range(7):
+        har = {
+            "log": {
+                "entries": [
+                    {
+                        "startedDateTime": f"2024-01-01T00:00:0{i}.000Z",
+                        "request": {"url": f"http://h{i}.example/"},
+                        "response": {"status": 200, "content": {"text": "x"}},
+                    }
+                ]
+            }
+        }
+        d = sub if i % 2 else src
+        (d / f"cap{i}.har").write_text(_json.dumps(har))
+    # one gzip'd capture + one corrupt file (quarantine arm)
+    (src / "gz.har.gz").write_bytes(
+        gzip.compress(_json.dumps({"log": {"entries": []}}).encode())
+    )
+    (src / "bad.har").write_bytes(b"\x00not json")
+
+    dest = tmp_path / "packed"
+    n = pack_dir(str(src), str(dest), files_per_bundle=3)
+    assert n == 3  # 9 files / 3 per bundle
+
+    plain = sorted(
+        (r["doc_id"], str(r["spans"]))
+        for r in har_source.read_har_dir(
+            spark, str(src), pattern="*.{har,har.gz}"
+        ).collect()
+    )
+    packed = sorted(
+        (r["doc_id"], str(r["spans"]))
+        for r in har_source.read_har_packed(spark, str(dest)).collect()
+    )
+    assert len(plain) == 9 and packed == plain

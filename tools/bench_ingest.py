@@ -74,6 +74,22 @@ def main() -> None:
         t0 = time.time()
         n_docs = har_source.read_har_dir(spark, work).count()
         ingest_s = min(ingest_s, time.time() - t0)
+
+    # leg 4 (r7 VERDICT #8): the same corpus packed into plain-tar
+    # bundles (tools/pack_captures.py), read by read_har_packed — same
+    # parse, one file boundary per bundle instead of per capture
+    from tools.pack_captures import pack_dir  # noqa: PLC0415
+
+    packed = tempfile.mkdtemp(prefix="ingest_bench_packed_")
+    per_bundle = int(os.environ.get("SPARK_GRAFT_PACK_SIZE", "256"))
+    n_bundles = pack_dir(work, packed, per_bundle)
+    packed_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        n_packed = har_source.read_har_packed(spark, packed).count()
+        packed_s = min(packed_s, time.time() - t0)
+    assert n_packed == n_docs, (n_packed, n_docs)
+    shutil.rmtree(packed, ignore_errors=True)
     spark.stop()
 
     # leg 3: single-process python floor, one replica scaled up
@@ -96,6 +112,10 @@ def main() -> None:
                 "mb_per_sec": round((total_bytes or 0) / 1e6 / ingest_s, 1),
                 "scan_floor_sec": round(floor_s, 2),
                 "ingest_sec": round(ingest_s, 2),
+                "packed_ingest_sec": round(packed_s, 2),
+                "packed_files_per_sec": round(n_files / packed_s, 1),
+                "n_bundles": n_bundles,
+                "files_per_bundle": per_bundle,
                 "single_python_sec_est": round(single_s, 2),
                 "parallel_speedup_vs_single": round(single_s / ingest_s, 1),
                 "cpus": cpus,
