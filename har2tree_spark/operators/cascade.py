@@ -113,6 +113,26 @@ def candidate_edges(
             "t_red_ok",
         )
     )
+    # Join strategy (r8, guide §3.1): SHUFFLE_HASH building the target side.
+    # The target exchange ALREADY exists — the redirect-prefix window hash-
+    # partitions tgt by exactly the join key (doc_id, key) — so the shuffled
+    # join adds only the probe-side exchange, and the two input shuffles
+    # materialize CONCURRENTLY under AQE. The default (auto-broadcast at
+    # bench scale) instead serializes three waves: window exchange -> window
+    # + driver collect + broadcast build -> probe stage. Measured (sf0.1,
+    # interleaved best-of-4, two sessions): resolve_rank 0.95-1.35 s
+    # broadcast vs 0.82-1.12 s shuffled-hash, every interleaved pairing in
+    # favor; result-identical (strategy hints cannot change join semantics;
+    # verified exceptAll-empty both directions). At cluster scale both
+    # sides grow with the data, so a broadcast is not on the table anyway;
+    # shuffled-hash keeps the window-exchange reuse and skips sort-merge's
+    # per-side sorts, the build side is the narrower table, and AQE's
+    # skew-join splitting applies to SHJ. Env override for memory-tight
+    # clusters where the per-partition hash build is the binding risk
+    # ('merge') or to let the planner decide by size ('auto').
+    strategy = os.environ.get("SPARK_GRAFT_CASCADE_JOIN", "shuffle_hash")
+    if strategy in ("shuffle_hash", "merge", "broadcast"):
+        tgt = tgt.hint(strategy)
 
     # probes: one row per pointer lookup, generated by a SINGLE scan — each
     # span contributes a small array of (ptr, probe) structs (0-1 redirect,

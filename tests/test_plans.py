@@ -147,13 +147,20 @@ def test_rank_cascade_plan_shape(spark, tmp_path):
     # whole candidate subtree as a common subexpression
     assert joins == 1, f"rank cascade must plan exactly 1 join, got {joins}"
     assert "LeftAnti" not in plan
-    # one exchange for the target-side redirect-prefix window + one for
-    # the winners' min_by aggregate; the edge-dedup shuffle must stay
-    # gone, and the winner pick must be an aggregate that partial-combines
+    # the join must be SHUFFLED-HASH reusing the window's (doc_id, key)
+    # partitioning on the target side (default SPARK_GRAFT_CASCADE_JOIN):
+    # no driver broadcast build, and the probe/window input exchanges
+    # materialize concurrently
+    assert re.search(r"\(\d+\) ShuffledHashJoin", plan), plan
+    assert "BroadcastExchange" not in plan
+    # one exchange for the target-side redirect-prefix window (reused by
+    # the join), one for the probe side of the shuffled join, one for the
+    # winners' min_by aggregate; the edge-dedup shuffle must stay gone,
+    # and the winner pick must be an aggregate that partial-combines
     # map-side (min_by plans as SortAggregate partial+final — struct
     # buffers are not HashAggregate-able), not a row_number window over
     # the full edge fan-out
-    assert _n_exchanges(plan) <= 2, plan
+    assert _n_exchanges(plan) <= 3, plan
     assert re.search(r"\(\d+\) (?:SortAggregate|ObjectHashAggregate|HashAggregate)", plan), plan
 
 
