@@ -455,6 +455,29 @@ def cascade_batch_arrow(batches) -> Iterator:
         yield _process_block(codes, _prep_arrow(carry))
 
 
+# (cell, radius) -> ring cells as a plain Python list (r8 micro-opt,
+# guide §4.2 "make the per-task work fast"): ring membership is a pure
+# function of the cell id, and the zipf hot-key pool means the same few
+# cells dominate fallback_knn probes across documents, so a bounded
+# memo turns the per-call np_ring arithmetic + element boxing into a
+# dict hit. Python-list values make the loop below iterate native ints
+# (no per-element numpy unboxing) and are never mutated by callers.
+# Bounded insert-only (~16k entries, a few MB): a reused worker keeps
+# the hot entries across tasks, cold cells just miss.
+_RING_CACHE: dict[tuple[int, int], list[int]] = {}
+_RING_CACHE_MAX = 1 << 14
+
+
+def _ring_cells(cell: int, r: int) -> list[int]:
+    key = (cell, r)
+    got = _RING_CACHE.get(key)
+    if got is None:
+        got = grid.np_ring(cell, r).tolist()
+        if len(_RING_CACHE) < _RING_CACHE_MAX:
+            _RING_CACHE[key] = got
+    return got
+
+
 def _fallback(d, consumed, depth, attach_seq, kind, lon, lat, cell, coarse, root):
     # cold path: convert the list-based DFS state back to numpy
     att = np.flatnonzero(np.asarray(consumed, dtype=bool))
@@ -501,11 +524,14 @@ def _fallback(d, consumed, depth, attach_seq, kind, lon, lat, cell, coarse, root
         have = have[have != d]
         if len(have) > 0:
             cell_of = defaultdict(list)
-            for a in have:
-                cell_of[int(cell[a])].append(int(a))
+            # bulk tolist: native ints for the dict keys and the ring scan
+            # below (per-element numpy indexing boxes an np scalar per hit)
+            for a in have.tolist():
+                cell_of[int(cell[a])].append(a)
+            cd = int(cell[d])
             for r in range(0, MAX_RING + 1):
-                ring = grid.np_ring(int(cell[d]), r)
-                found = [a for c in ring for a in cell_of.get(int(c), ())]
+                ring = _ring_cells(cd, r)
+                found = [a for c in ring for a in cell_of.get(c, ())]
                 if found:
                     f_arr = np.asarray(sorted(set(found)))
                     d2 = _grid_d2(cell, f_arr, d)
