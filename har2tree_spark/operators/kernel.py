@@ -115,6 +115,29 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
         if media[i] >= 0:
             (media_js if kind[i] == KC_JS else media_other)[media[i]].append(i)
 
+    # applicable stage indexes per node, precomputed once (r8 micro-opt):
+    # each stage's parent-side precondition is a pure function of the
+    # node's static columns, so the DFS only visits stages that CAN yield
+    # candidates (typically 2 of 5) and skips frame pushes for nodes with
+    # no applicable stage at all — both changes visit-order-neutral, since
+    # a skipped stage/frame would have produced an empty candidate list
+    # and no attachment (verified bit-identical vs the unconditioned
+    # 5-stage walk on bench/hot-key/orphan/events corpora).
+    stages_of: list[list[int]] = []
+    for i in range(n):
+        k = kind[i]
+        s: list[int] = []
+        if k == KC_REDIRECT and has_media[i] and media[i] >= 0:
+            s.append(0)  # redirect
+        if k == KC_IFRAME:
+            s.append(1)  # frame
+        if key[i] >= 0:
+            s.append(2)  # initiator
+            s.append(3)  # referer
+        if k in _RESOURCE_PARENTS:
+            s.append(4)  # resource
+        stages_of.append(s)
+
     consumed = [False] * n
     depth = [0] * n
     attach_seq = [0] * n
@@ -132,10 +155,11 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
         out_parent.append(p)
         out_stage.append(stage)
 
-    def stage_children(p: int, stage: str) -> list[int]:
-        if stage == "redirect":
-            if kind[p] != KC_REDIRECT or not has_media[p] or media[p] < 0:
-                return []
+    def stage_children(p: int, si: int) -> list[int]:
+        """Candidates of stage index ``si`` (into _STAGES) for parent
+        ``p``; only called when stages_of[p] says the stage's parent-side
+        precondition holds."""
+        if si == 0:  # redirect: prefix-to-first-valid
             cands = [
                 c
                 for c in key_pos.get(media[p], ())
@@ -147,9 +171,7 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
                 if valid[c]:
                     break
             return prefix
-        if stage == "frame":
-            if kind[p] != KC_IFRAME:
-                return []
+        if si == 1:  # frame
             hits = {
                 c
                 for t in ref_nums[p]
@@ -157,17 +179,11 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
                 if c != p and not consumed[c]
             }
             return sorted(hits)
-        if stage == "initiator":
-            if key[p] < 0:
-                return []
+        if si == 2:  # initiator
             return [c for c in media_js.get(key[p], ()) if c != p and not consumed[c]]
-        if stage == "referer":
-            if key[p] < 0:
-                return []
+        if si == 3:  # referer
             return [c for c in media_other.get(key[p], ()) if c != p and not consumed[c]]
         # resource
-        if kind[p] not in _RESOURCE_PARENTS:
-            return []
         hits = {
             c
             for t in ref_nums[p]
@@ -184,17 +200,19 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
         stage's candidate list at the moment the stage is reached (so it
         sees every attach made by deeper recursion), then re-checks
         ``consumed`` per child while walking the list."""
-        # frame: [parent, stage_index, child_list | None, cursor]
+        if not stages_of[top]:
+            return
+        # frame: [parent, applicable-stage cursor, child_list | None, cursor]
         stack: list[list] = [[top, 0, None, 0]]
-        nstages = len(_STAGES)
         while stack:
             fr = stack[-1]
             children = fr[2]
             if children is None:
-                if fr[1] >= nstages:
+                slist = stages_of[fr[0]]
+                if fr[1] >= len(slist):
                     stack.pop()
                     continue
-                fr[2] = stage_children(fr[0], _STAGES[fr[1]])
+                fr[2] = stage_children(fr[0], slist[fr[1]])
                 fr[3] = 0
                 continue
             if fr[3] >= len(children):
@@ -205,8 +223,9 @@ def _run_doc(a: dict, lo: int, hi: int) -> tuple[list[int], list[int], list[str]
             fr[3] += 1
             if consumed[c]:
                 continue
-            attach(c, fr[0], _STAGES[fr[1]])
-            stack.append([c, 0, None, 0])
+            attach(c, fr[0], _STAGES[stages_of[fr[0]][fr[1]]])
+            if stages_of[c]:
+                stack.append([c, 0, None, 0])
 
     root = 0
     attach(root, -1, "root")
